@@ -1,0 +1,296 @@
+"""AMG hierarchy: host-side setup, device-resident multilevel preconditioner.
+
+Mirrors the reference's split (SURVEY.md §3.1): HAZmath runs AMG *setup*
+once in C on the host (strength -> aggregation -> prolongators -> RAP ->
+Schwarz blocks -> coarse factorization), then applies cycles per PCG
+iteration.  Here setup is vectorized numpy on host; the result is a pytree
+(`MGPreconditioner`) whose `matvec` is fully jittable — the entire PCG +
+preconditioner solve compiles to ONE XLA program with zero host crossings
+per iteration (the shape of the reference's all-in-C fast path,
+/root/reference/src/utils.py:119, without the per-iteration SWIG hop of its
+slow path).
+
+Cycle types: V, W, AMLI(degree), additive — HAZmath ``cycle_type``
+(/root/reference/src/amg_parameters.py:6). W/AMLI recursion is unrolled at
+trace time (static level count); a work cap degrades W->V below the depth
+where the recursive visit count would blow up the trace.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse import HostCSR, ELL, rap_unsmoothed
+from ..config import AMGParameters
+from .strength import strength_graph
+from .aggregation import AGGREGATORS, hem_aggregation
+from .prolongation import tentative_prolongator, smoothed_prolongator
+from ..smoothers import (build_jacobi, build_l1_jacobi, build_multicolor_gs,
+                         build_chebyshev, build_schwarz, MetricSmoother,
+                         SchwarzSmoother)
+
+
+@jax.tree_util.register_pytree_node_class
+class MGLevel:
+    """One level: fine operator + smoother + transfer to the next level."""
+
+    def __init__(self, A: ELL, smoother, agg=None, P=None, R=None, nc=0):
+        self.A = A
+        self.smoother = smoother
+        self.agg = agg      # (n,) int32 aggregate map (UA fast transfers)
+        self.P = P          # ELL (SA) or None
+        self.R = R          # ELL (SA) or None
+        self.nc = nc        # coarse size (static)
+
+    def tree_flatten(self):
+        return ((self.A, self.smoother, self.agg, self.P, self.R),
+                (self.nc,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        A, sm, agg, P, R = ch
+        return cls(A, sm, agg, P, R, aux[0])
+
+    def restrict(self, r):
+        if self.agg is not None:
+            return jnp.zeros(self.nc, dtype=r.dtype).at[self.agg].add(r)
+        return self.R.matvec(r)
+
+    def prolong(self, ec):
+        if self.agg is not None:
+            return ec[self.agg]
+        return self.P.matvec(ec)
+
+
+@jax.tree_util.register_pytree_node_class
+class MGPreconditioner:
+    """Multilevel cycle as a linear operator (pytree; jit-traceable)."""
+
+    def __init__(self, levels, coarse_inv, cycle="v", maxit=1,
+                 presmooth=1, postsmooth=1, amli_degree=3, max_w_work=256):
+        self.levels = tuple(levels)
+        self.coarse_inv = coarse_inv
+        self.cycle = cycle
+        self.maxit = maxit
+        self.presmooth = presmooth
+        self.postsmooth = postsmooth
+        self.amli_degree = amli_degree
+        self.max_w_work = max_w_work
+
+    def tree_flatten(self):
+        return ((self.levels, self.coarse_inv),
+                (self.cycle, self.maxit, self.presmooth, self.postsmooth,
+                 self.amli_degree, self.max_w_work))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        levels, coarse_inv = ch
+        return cls(levels, coarse_inv, *aux)
+
+    # -- application --------------------------------------------------
+    def _coarse_solve(self, b):
+        return self.coarse_inv @ b
+
+    def _n_recursive(self, lvl):
+        """Recursive visits of level lvl in a pure W/AMLI cycle."""
+        mu = 2 if self.cycle == "w" else (
+            self.amli_degree if self.cycle in ("amli", "nl_amli") else 1)
+        return mu ** lvl
+
+    def _cycle(self, lvl, b, x):
+        if lvl == len(self.levels):
+            return self._coarse_solve(b)
+        L = self.levels[lvl]
+        x = L.smoother.smooth(L.A, x, b, self.presmooth)
+        r = b - L.A.matvec(x)
+        rc = L.restrict(r)
+        ec = jnp.zeros(L.nc, dtype=b.dtype)
+        # number of coarse-grid visits at the NEXT level
+        if self.cycle == "w" and self._n_recursive(lvl + 1) <= self.max_w_work:
+            ec = self._cycle(lvl + 1, rc, ec)
+            ec = self._cycle(lvl + 1, rc, ec)
+        elif self.cycle in ("amli", "nl_amli") and \
+                self._n_recursive(lvl + 1) <= self.max_w_work:
+            ec = self._amli_inner(lvl + 1, rc, ec)
+        else:   # v (or degraded deep levels)
+            ec = self._cycle(lvl + 1, rc, ec)
+        x = x + L.prolong(ec)
+        x = L.smoother.smooth(L.A, x, b, self.postsmooth)
+        return x
+
+    def _amli_inner(self, lvl, b, x):
+        """Nonlinear AMLI: `amli_degree` steps of flexible steepest descent
+        on the coarse problem, preconditioned by the recursive cycle."""
+        if lvl == len(self.levels):
+            return self._coarse_solve(b)
+        A = self.levels[lvl].A if lvl < len(self.levels) else None
+        for _ in range(self.amli_degree):
+            r = b - A.matvec(x)
+            z = self._cycle(lvl, r, jnp.zeros_like(r))
+            Az = A.matvec(z)
+            denom = jnp.vdot(z, Az).real
+            alpha = jnp.where(denom > 0, jnp.vdot(z, r).real / denom, 1.0)
+            x = x + alpha * z
+        return x
+
+    def _additive(self, b):
+        """Additive (BPX-like) cycle: smoother contributions from every
+        level plus the coarse solve, summed."""
+        contribs = []
+        r = b
+        rs = [b]
+        for L in self.levels:
+            rs.append(L.restrict(rs[-1]))
+        ec = self._coarse_solve(rs[-1])
+        for i in reversed(range(len(self.levels))):
+            L = self.levels[i]
+            z = L.smoother.smooth(L.A, jnp.zeros_like(rs[i]), rs[i], 1)
+            ec = z + L.prolong(ec)
+        return ec
+
+    def matvec(self, b):
+        if self.cycle == "add":
+            return self._additive(b)
+        x = jnp.zeros_like(b)
+        for _ in range(self.maxit):
+            x = self._cycle(0, b, x)
+        return x
+
+
+def _apply_mg(prec: MGPreconditioner, b):
+    return prec.matvec(b)
+
+
+def as_operator(prec: MGPreconditioner):
+    """Partial-wrapped apply: jit cache keys on structure, not identity."""
+    return jax.tree_util.Partial(_apply_mg, prec)
+
+
+# ---------------------------------------------------------------------------
+# Setup
+# ---------------------------------------------------------------------------
+
+def _build_level_smoother(A: HostCSR, params: AMGParameters, level,
+                          idofs, dtype):
+    use_schwarz = (level < params.schwarz_levels)
+    if use_schwarz:
+        schwarz = build_schwarz(
+            A, idofs=idofs, maxlvl=params.schwarz_maxlvl,
+            mmsize=params.schwarz_mmsize,
+            symmetric=(params.schwarz_type == "symmetric"),
+            dtype=dtype)
+        if idofs is not None and len(idofs) < A.shape[0]:
+            # GS on the complement (utils.py:84 semantics)
+            mask = np.ones(A.shape[0], dtype=bool)
+            mask[idofs] = False
+            gs = build_multicolor_gs(A, omega=1.0, symmetric=False,
+                                     active=mask, dtype=dtype)
+        else:
+            gs = None
+        return MetricSmoother(schwarz, gs)
+    sm = params.smoother
+    if sm == "jacobi":
+        return build_jacobi(A, omega=1.0 / params.relaxation, dtype=dtype)
+    if sm == "l1_jacobi":
+        return build_l1_jacobi(A, dtype=dtype)
+    if sm == "chebyshev":
+        return build_chebyshev(A, degree=3, dtype=dtype)
+    if sm == "gs":
+        return build_multicolor_gs(A, omega=1.0, symmetric=False,
+                                   dtype=dtype)
+    # default sgs
+    return build_multicolor_gs(A, omega=1.0, symmetric=True, dtype=dtype)
+
+
+def _batch_isolated_rows(A: HostCSR, agg, nagg, max_aggregation):
+    """Merge aggregates of off-diagonal-free rows into batches."""
+    r, c, _ = A.to_coo()
+    offdeg = np.zeros(A.shape[0], dtype=np.int64)
+    np.add.at(offdeg, r[r != c], 1)
+    iso = np.flatnonzero(offdeg == 0)
+    if len(iso) < 2:
+        return agg, nagg
+    group = max(2, int(max_aggregation))
+    new_ids = nagg + np.arange(len(iso)) // group
+    agg = agg.copy()
+    agg[iso] = new_ids
+    used, inv = np.unique(agg[agg >= 0], return_inverse=True)
+    out = np.full(len(agg), -1, dtype=np.int64)
+    out[agg >= 0] = inv
+    return out, len(used)
+
+
+def setup_amg(A_host: HostCSR, params: AMGParameters = AMGParameters(),
+              idofs=None) -> MGPreconditioner:
+    """Build the multilevel hierarchy on host, ship to device.
+
+    idofs: interface dof indices — rows that get the Schwarz treatment on
+    Schwarz-enabled levels (metricAMG semantics,
+    /root/reference/src/utils.py:86-88). Propagated to coarse levels
+    through the aggregation map."""
+    dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+    aggregate = AGGREGATORS[params.aggregation_type]
+    levels = []
+    A = A_host
+    cur_idofs = None if idofs is None else np.asarray(idofs, dtype=np.int64)
+    while (len(levels) < params.max_levels - 1
+           and A.shape[0] > params.coarse_dof):
+        # UA coarse operators grow their diagonal with aggregate size, so a
+        # fixed strength threshold starves the strength graph on coarse
+        # levels (coarsening stagnates). Decay theta per level — same
+        # cure HAZmath applies on coarse grids.
+        theta = params.strong_coupled * (0.5 ** len(levels))
+        S = strength_graph(A, theta)
+        if params.aggregation_type == "hem":
+            agg, nagg = hem_aggregation(S)
+            for _ in range(params.pairwise_passes - 1):
+                if nagg <= params.coarse_dof:
+                    break
+                Ac_tmp = rap_unsmoothed(A, agg, nagg)
+                S2 = strength_graph(Ac_tmp, theta)
+                agg2, nagg2 = hem_aggregation(S2)
+                agg = agg2[agg]
+                nagg = nagg2
+        else:
+            agg, nagg = aggregate(S, params.max_aggregation)
+        # Rows with no off-diagonal coupling (eliminated Dirichlet rows,
+        # fully decoupled dofs) never aggregate and would stall coarsening
+        # as eternal singletons. Batch them into group aggregates: safe,
+        # since one pre-smoothing sweep solves decoupled rows exactly, so
+        # their restricted residual is 0 and the (inexact) group coarse
+        # correction never activates.
+        agg, nagg = _batch_isolated_rows(A, agg, nagg,
+                                         params.max_aggregation)
+        if nagg > 0.85 * A.shape[0]:   # stagnation — dense-solve the rest
+            break
+        if params.amg_type == "sa":
+            P_t = tentative_prolongator(agg, nagg)
+            P = smoothed_prolongator(A, P_t, params.strong_coupled)
+            R = P.T
+            Ac = R.matmat(A.matmat(P))
+            smoother = _build_level_smoother(A, params, len(levels),
+                                             cur_idofs, dtype)
+            levels.append(MGLevel(
+                ELL.from_host(A, dtype=dtype), smoother,
+                agg=None,
+                P=ELL.from_host(P, dtype=dtype),
+                R=ELL.from_host(R, dtype=dtype), nc=nagg))
+        else:
+            Ac = rap_unsmoothed(A, agg, nagg)
+            smoother = _build_level_smoother(A, params, len(levels),
+                                             cur_idofs, dtype)
+            levels.append(MGLevel(
+                ELL.from_host(A, dtype=dtype), smoother,
+                agg=jnp.asarray(agg, dtype=jnp.int32), nc=nagg))
+        if cur_idofs is not None:
+            cur_idofs = np.unique(agg[cur_idofs])
+            cur_idofs = cur_idofs[cur_idofs >= 0]
+        A = Ac
+    coarse_inv = np.linalg.inv(A.toarray()) if A.shape[0] > 0 else \
+        np.zeros((0, 0))
+    return MGPreconditioner(
+        levels, jnp.asarray(coarse_inv, dtype=dtype),
+        cycle=params.cycle_type, maxit=params.maxit,
+        presmooth=params.presmooth_iter, postsmooth=params.postsmooth_iter,
+        amli_degree=params.amli_degree, max_w_work=params.max_w_work)

@@ -1,0 +1,90 @@
+"""Configuration dataclasses: AMG / solver / problem parameter presets.
+
+One typed config system replacing the reference's three tiers (SURVEY.md
+§5.6): the haznics parameter dicts (/root/reference/src/amg_parameters.py),
+the ``input_metric.dat`` key-value file, and per-driver argparse defaults.
+The four canned presets reproduce the reference's, keyed by the same names
+the drivers use (-precond hazmath / hazmath_Schwarz / hazmath_HEM /
+metric / metric_mono / metric_hazmath).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class AMGParameters:
+    """Mirror of the haznics AMG parameter surface actually used
+    (/root/reference/src/amg_parameters.py:3-89, utils.py:20-38,60-82)."""
+    amg_type: str = "ua"              # ua | sa            (UA_AMG/SA_AMG)
+    cycle_type: str = "w"             # v | w | amli | nl_amli | add
+    max_levels: int = 20
+    maxit: int = 1                    # cycles per preconditioner apply
+    smoother: str = "sgs"             # jacobi|l1_jacobi|gs|sgs|chebyshev
+    relaxation: float = 1.2
+    presmooth_iter: int = 1
+    postsmooth_iter: int = 1
+    coarse_dof: int = 100
+    coarse_solver: str = "dense"      # dense LU == UMFPACK role (32)
+    coarse_scaling: bool = True
+    aggregation_type: str = "vmb"     # vmb | hem | mis
+    strong_coupled: float = 0.1
+    max_aggregation: int = 100
+    amli_degree: int = 3
+    # Schwarz smoother block (HAZmath Schwarz_*)
+    schwarz_levels: int = 0           # levels 0..k-1 get Schwarz smoothing
+    schwarz_mmsize: int = 100
+    schwarz_maxlvl: int = 1
+    schwarz_type: str = "symmetric"   # forward | backward | symmetric
+    schwarz_blksolver: str = "dense"  # dense inverse == UMFPACK role
+    # TPU-build knobs (no reference analog)
+    dtype: str = "float64"            # device dtype for the cycle
+    pairwise_passes: int = 2          # HEM matchings per level (ratio ~2^k)
+    max_w_work: int = 64              # cap on W/AMLI recursive visits;
+    #                                   deeper levels degrade to V
+    print_level: int = 0
+
+
+# -- canned presets (parity with /root/reference/src/amg_parameters.py) ----
+
+parameters_standard = AMGParameters(
+    amg_type="ua", cycle_type="w", max_levels=20, maxit=1, smoother="sgs",
+    relaxation=1.2, coarse_dof=100, aggregation_type="vmb",
+    strong_coupled=0.1, max_aggregation=100, schwarz_levels=0)
+
+parameters_standard_schwarz = replace(
+    parameters_standard, schwarz_levels=1, schwarz_mmsize=100,
+    schwarz_maxlvl=1)
+
+parameters_metric = AMGParameters(
+    amg_type="ua", cycle_type="w", max_levels=20, maxit=1, smoother="sgs",
+    relaxation=1.2, coarse_dof=100, aggregation_type="hem",
+    strong_coupled=0.1, amli_degree=3, schwarz_levels=0)
+
+parameters_metric_schwarz = replace(
+    parameters_metric, schwarz_levels=1, schwarz_mmsize=100,
+    schwarz_maxlvl=1)
+
+# default dict used by get_hazmath_metric_precond_mono when None
+# (/root/reference/src/utils.py:60-82): metric + Schwarz with maxlvl 2
+parameters_metric_mono_default = replace(
+    parameters_metric_schwarz, schwarz_maxlvl=2)
+
+PRESETS = {
+    "standard": parameters_standard,
+    "standard_schwarz": parameters_standard_schwarz,
+    "metric": parameters_metric,
+    "metric_schwarz": parameters_metric_schwarz,
+    "metric_mono_default": parameters_metric_mono_default,
+}
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Outer Krylov configuration (cbc.block ConjGrad surface,
+    /root/reference/src/bidomain_2d.py:205)."""
+    method: str = "cg"                # cg | minres | gmres
+    tolerance: float = 1e-8
+    maxiter: int = 500
+    restart: int = 30                 # gmres only
+    stop_type: str = "rel_precond"    # rel_precond | rel_res

@@ -1,0 +1,237 @@
+"""Overlapping Schwarz block smoother, batched for the MXU.
+
+TPU-native rebuild of HAZmath's Schwarz method (SURVEY.md §2b "HAZmath
+Schwarz smoother"; parameters ``Schwarz_levels/mmsize/maxlvl/type/blksolver``
+at /root/reference/src/amg_parameters.py:39-43 and
+``input_metric.dat`` precond type 16 = symmetric multiplicative Schwarz on
+interface dofs + GS elsewhere, /root/reference/src/utils.py:84).
+
+Design mapping (reference -> TPU):
+- blocks grown `maxlvl` graph-levels from seed dofs, capped at `mmsize`
+  rows  ->  same BFS growth on the host at setup, with seeds optionally
+  thinned to a covering independent set so the block count stays bounded;
+- per-block UMFPACK LU solves  ->  blocks padded to a uniform size, dense
+  inverses precomputed on host, application is ONE batched (nblk, m, m) @
+  (nblk, m) matmul — exactly the MXU's shape;
+- symmetric multiplicative ordering  ->  blocks colored by overlap
+  (host greedy coloring of the block-intersection graph); within a color
+  blocks are disjoint, so a multiplicative sweep is a short static sequence
+  of batched updates; symmetric = forward colors then reversed.
+
+The `MetricSmoother` composes Schwarz-on-interface-dofs with multicolor GS
+on the remaining dofs — the paper's metric-AMG smoother split
+(idofs semantics, /root/reference/src/utils.py:84).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse import HostCSR, ELL
+
+
+def _bfs_blocks(A: HostCSR, seeds, maxlvl, mmsize, restrict=None):
+    """Grow one block per seed: all dofs within graph distance `maxlvl`,
+    optionally restricted to the dof set `restrict`; capped at mmsize."""
+    indptr, indices = A.indptr, A.indices
+    allowed = None
+    if restrict is not None:
+        allowed = np.zeros(A.shape[0], dtype=bool)
+        allowed[restrict] = True
+    blocks = []
+    for s in seeds:
+        frontier = [int(s)]
+        seen = {int(s)}
+        for _ in range(maxlvl):
+            nxt = []
+            for u in frontier:
+                for vtx in indices[indptr[u]:indptr[u + 1]]:
+                    vtx = int(vtx)
+                    if vtx in seen:
+                        continue
+                    if allowed is not None and not allowed[vtx]:
+                        continue
+                    seen.add(vtx)
+                    nxt.append(vtx)
+                    if len(seen) >= mmsize:
+                        break
+                if len(seen) >= mmsize:
+                    break
+            frontier = nxt
+            if len(seen) >= mmsize:
+                break
+        blocks.append(np.fromiter(sorted(seen), dtype=np.int64))
+    return blocks
+
+
+def _thin_seeds(A: HostCSR, idofs, maxlvl):
+    """Covering independent set: greedy distance-(maxlvl) MIS over the
+    idofs-induced subgraph, guaranteeing every idof lands in some block."""
+    idofs = np.asarray(idofs, dtype=np.int64)
+    in_set = np.zeros(A.shape[0], dtype=bool)
+    in_set[idofs] = True
+    indptr, indices = A.indptr, A.indices
+    covered = np.zeros(A.shape[0], dtype=bool)
+    seeds = []
+    for s in idofs:
+        if covered[s]:
+            continue
+        seeds.append(s)
+        # mark distance-maxlvl neighborhood (within idofs) as covered
+        frontier = [int(s)]
+        covered[s] = True
+        for _ in range(maxlvl):
+            nxt = []
+            for u in frontier:
+                for vtx in indices[indptr[u]:indptr[u + 1]]:
+                    vtx = int(vtx)
+                    if in_set[vtx] and not covered[vtx]:
+                        covered[vtx] = True
+                        nxt.append(vtx)
+            frontier = nxt
+    return np.asarray(seeds, dtype=np.int64)
+
+
+def _color_blocks(blocks, n):
+    """Greedy coloring of the block overlap graph (shared dof = edge)."""
+    owner = [[] for _ in range(n)]
+    for bi, blk in enumerate(blocks):
+        for d in blk:
+            owner[d].append(bi)
+    colors = np.full(len(blocks), -1, dtype=np.int64)
+    for bi in range(len(blocks)):
+        used = set()
+        for d in blocks[bi]:
+            for bj in owner[d]:
+                if bj != bi and colors[bj] >= 0:
+                    used.add(int(colors[bj]))
+        c = 0
+        while c in used:
+            c += 1
+        colors[bi] = c
+    return colors
+
+
+@jax.tree_util.register_pytree_node_class
+class SchwarzSmoother:
+    """Colored multiplicative (or additive) overlapping Schwarz.
+
+    Per color c:
+      dof_ids[c]:  (nb_c, m) int32, padded with n (ghost row of x/b),
+      inv_blocks[c]: (nb_c, m, m) dense inverses (identity in padding).
+    """
+
+    def __init__(self, dof_ids, inv_blocks, symmetric=True, additive=False,
+                 weight=1.0):
+        self.dof_ids = tuple(dof_ids)
+        self.inv_blocks = tuple(inv_blocks)
+        self.symmetric = symmetric
+        self.additive = additive
+        self.weight = weight
+
+    def tree_flatten(self):
+        return ((self.dof_ids, self.inv_blocks, self.weight),
+                (self.symmetric, self.additive))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        ids, inv, w = ch
+        return cls(ids, inv, aux[0], aux[1], w)
+
+    def _color_update(self, A: ELL, x, b, c):
+        ids = self.dof_ids[c]
+        inv = self.inv_blocks[c]
+        r = b - A.matvec(x)
+        rpad = jnp.concatenate([r, jnp.zeros((1,), dtype=r.dtype)])
+        rb = rpad[ids]                                   # (nb, m)
+        delta = jnp.einsum("bij,bj->bi", inv, rb)        # batched MXU solve
+        xpad = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+        xpad = xpad.at[ids.reshape(-1)].add(
+            self.weight * delta.reshape(-1))
+        return xpad[:-1]
+
+    def smooth(self, A: ELL, x, b, iters=1):
+        ncol = len(self.dof_ids)
+        for _ in range(iters):
+            if self.additive:
+                r = b - A.matvec(x)
+                rpad = jnp.concatenate([r, jnp.zeros((1,), dtype=r.dtype)])
+                xpad = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+                for c in range(ncol):
+                    rb = rpad[self.dof_ids[c]]
+                    delta = jnp.einsum("bij,bj->bi", self.inv_blocks[c], rb)
+                    xpad = xpad.at[self.dof_ids[c].reshape(-1)].add(
+                        self.weight * delta.reshape(-1))
+                x = xpad[:-1]
+            else:
+                for c in range(ncol):
+                    x = self._color_update(A, x, b, c)
+                if self.symmetric:
+                    for c in reversed(range(ncol)):
+                        x = self._color_update(A, x, b, c)
+        return x
+
+
+def build_schwarz(A_host: HostCSR, seeds=None, idofs=None, maxlvl=1,
+                  mmsize=100, symmetric=True, additive=False,
+                  thin=True, restrict_to_idofs=True, weight=1.0,
+                  dtype=jnp.float32):
+    """Construct the Schwarz smoother data from the host matrix.
+
+    idofs: dof set the smoother acts on (interface dofs); None = all.
+    seeds: explicit seed dofs; default = thinned covering MIS of idofs.
+    """
+    n = A_host.shape[0]
+    if idofs is None:
+        idofs = np.arange(n, dtype=np.int64)
+    idofs = np.asarray(idofs, dtype=np.int64)
+    if seeds is None:
+        seeds = _thin_seeds(A_host, idofs, maxlvl) if thin else idofs
+    restrict = idofs if restrict_to_idofs else None
+    blocks = _bfs_blocks(A_host, seeds, maxlvl, mmsize, restrict)
+    colors = _color_blocks(blocks, n)
+    ncol = int(colors.max()) + 1 if len(blocks) else 0
+    m = max((len(b) for b in blocks), default=1)
+    dof_ids, inv_blocks = [], []
+    for c in range(ncol):
+        bids = [blocks[i] for i in np.flatnonzero(colors == c)]
+        nb = len(bids)
+        ids = np.full((nb, m), n, dtype=np.int32)      # ghost pad
+        inv = np.zeros((nb, m, m), dtype=np.float64)
+        for k, blk in enumerate(bids):
+            sz = len(blk)
+            ids[k, :sz] = blk
+            sub = A_host.extract_submatrix(blk, blk)
+            inv[k, :sz, :sz] = np.linalg.inv(sub)
+        dof_ids.append(jnp.asarray(ids))
+        inv_blocks.append(jnp.asarray(inv, dtype=dtype))
+    return SchwarzSmoother(dof_ids, inv_blocks, symmetric, additive, weight)
+
+
+@jax.tree_util.register_pytree_node_class
+class MetricSmoother:
+    """Schwarz on interface dofs + multicolor GS on the rest, applied
+    symmetrically: GS-forward, Schwarz(sym), GS-backward.  Mirrors
+    HAZmath precond type 16 semantics (interface Schwarz + GS elsewhere,
+    /root/reference/src/input_metric.dat:57, utils.py:84)."""
+
+    def __init__(self, schwarz: SchwarzSmoother, gs):
+        self.schwarz = schwarz
+        self.gs = gs
+
+    def tree_flatten(self):
+        return ((self.schwarz, self.gs), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    def smooth(self, A: ELL, x, b, iters=1):
+        for _ in range(iters):
+            if self.gs is not None:
+                x = self.gs.smooth(A, x, b)
+            x = self.schwarz.smooth(A, x, b)
+            if self.gs is not None:
+                x = self.gs.smooth(A, x, b)
+        return x
