@@ -1,0 +1,127 @@
+"""AMG + Krylov regression tests (SURVEY.md §4): two-grid quality,
+gamma/h robustness on the bidomain system, Krylov parity."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tpuamg.fem import (tagged_unit_square, stiffness_matrix, load_vector,
+                        apply_bc_monolithic, mms)
+from tpuamg.amg import setup_amg, as_operator, strength_graph
+from tpuamg.amg.aggregation import hem_aggregation, vmb_aggregation
+from tpuamg.sparse import ELL, matvec_op, HostCSR
+from tpuamg.krylov import pcg, minres, gmres
+from tpuamg.config import AMGParameters
+from tpuamg.problems.bidomain import Params, get_mesh, get_system
+from tpuamg.problems.solve import solve_system
+
+
+@pytest.fixture(scope="module")
+def poisson():
+    m = tagged_unit_square(24)
+    A = stiffness_matrix(m)
+    b = load_vector(m, lambda x: np.ones(len(x)))
+    bd = m.boundary_vertices((1, 2, 3, 4))
+    A, b = apply_bc_monolithic(A, b, bd, np.zeros(len(bd)))
+    return A, b
+
+
+def test_aggregation_coarsens(poisson):
+    A, _ = poisson
+    S = strength_graph(A, 0.1)
+    agg, nagg = hem_aggregation(S)
+    assert nagg < 0.75 * A.shape[0]
+    agg2, nagg2 = vmb_aggregation(S)
+    assert nagg2 < 0.5 * A.shape[0]
+    # every non-dropped dof aggregated
+    assert (agg >= 0).all() and (agg2 >= 0).all()
+
+
+@pytest.mark.parametrize("aggtype,cycle", [("vmb", "v"), ("hem", "w")])
+def test_amg_pcg_poisson(poisson, aggtype, cycle):
+    A, b = poisson
+    params = AMGParameters(aggregation_type=aggtype, cycle_type=cycle,
+                           dtype="float64", max_w_work=16)
+    prec = setup_amg(A, params)
+    Ae = ELL.from_host(A, dtype=jnp.float64)
+    res = pcg(matvec_op(Ae), b, M=as_operator(prec), tol=1e-8, maxiter=100)
+    assert res.converged and res.niters < 40
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert rel < 1e-6
+
+
+def test_cycle_is_linear_and_symmetric(poisson):
+    """The V-cycle with symmetric smoothing must be a symmetric linear
+    operator — required for CG validity (SURVEY.md §4 property tests)."""
+    A, _ = poisson
+    params = AMGParameters(aggregation_type="vmb", cycle_type="v",
+                           dtype="float64")
+    op = as_operator(setup_amg(A, params))
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(A.shape[0])
+    v = rng.standard_normal(A.shape[0])
+    Bu = np.asarray(op(jnp.asarray(u)))
+    Bv = np.asarray(op(jnp.asarray(v)))
+    # linearity
+    Buv = np.asarray(op(jnp.asarray(2.0 * u - 3.0 * v)))
+    np.testing.assert_allclose(Buv, 2 * Bu - 3 * Bv, rtol=1e-10, atol=1e-12)
+    # symmetry <Bu, v> == <u, Bv>
+    np.testing.assert_allclose(v @ Bu, u @ Bv, rtol=1e-9)
+
+
+GAMMAS = [1e0, 1e4, 1e8]
+
+
+@pytest.mark.parametrize("gamma", GAMMAS)
+def test_bidomain_gamma_robust(gamma):
+    """The paper's headline claim: metric AMG keeps PCG iterations O(1)
+    across 10 orders of magnitude in gamma (BASELINE.md)."""
+    mesh = get_mesh(16, 2)
+    p = Params(2.0, 3.0, gamma)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    A, b, sizes, _ = get_system(mesh, data, p)
+    idofs = np.arange(sizes[0], sizes[0] + sizes[1])
+    rep = solve_system(A, b, "metric_mono", sizes, idofs=idofs,
+                       tol=1e-8, maxiter=60)
+    assert rep.converged
+    assert rep.niters <= 20, (gamma, rep.niters)
+    assert rep.cond < 20
+
+
+def test_bidomain_standard_preconds():
+    mesh = get_mesh(16, 2)
+    p = Params(2.0, 3.0, 5.0)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    A, b, sizes, _ = get_system(mesh, data, p)
+    idofs = np.arange(sizes[0], sizes[0] + sizes[1])
+    for precond in ("hazmath", "hazmath_Schwarz", "hazmath_HEM"):
+        rep = solve_system(A, b, precond, sizes, idofs=idofs,
+                           tol=1e-8, maxiter=100)
+        assert rep.converged, precond
+
+
+def test_minres_gmres_agree(poisson):
+    A, b = poisson
+    Ae = ELL.from_host(A, dtype=jnp.float64)
+    r1 = minres(matvec_op(Ae), b, tol=1e-10, maxiter=400)
+    r2 = gmres(matvec_op(Ae), b, tol=1e-10, maxiter=400, restart=50)
+    x1, x2 = np.asarray(r1.x), np.asarray(r2.x)
+    assert np.linalg.norm(b - A.matvec(x1)) / np.linalg.norm(b) < 1e-8
+    assert np.linalg.norm(b - A.matvec(x2)) / np.linalg.norm(b) < 1e-8
+
+
+def test_cg_lanczos_cond_estimate():
+    """Condition estimate from CG must approximate the true spectrum for a
+    small SPD matrix (cbc.block eigenvalue_estimates parity)."""
+    rng = np.random.default_rng(0)
+    n = 60
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lams = np.linspace(1.0, 50.0, n)
+    Ad = (Q * lams) @ Q.T
+    A = HostCSR.from_dense(Ad)
+    Ae = ELL.from_host(A, dtype=jnp.float64)
+    b = rng.standard_normal(n)
+    res = pcg(matvec_op(Ae), b, tol=1e-12, maxiter=200)
+    est = res.eigenvalue_estimates()
+    assert abs(est.max() - 50.0) / 50.0 < 0.05
+    assert abs(est.min() - 1.0) < 0.2

@@ -175,10 +175,15 @@ def _build_level_smoother(A: HostCSR, params: AMGParameters, level,
                           idofs, dtype):
     use_schwarz = (level < params.schwarz_levels)
     if use_schwarz:
+        # Blocks are *seeded* at interface dofs but grow through the full
+        # matrix graph (restrict_to_idofs=False): the gamma*M coupling
+        # reaches the partner dofs outside the interface set, and block
+        # solves must capture that pair coupling for gamma-robustness.
         schwarz = build_schwarz(
             A, idofs=idofs, maxlvl=params.schwarz_maxlvl,
             mmsize=params.schwarz_mmsize,
             symmetric=(params.schwarz_type == "symmetric"),
+            restrict_to_idofs=False,
             dtype=dtype)
         if idofs is not None and len(idofs) < A.shape[0]:
             # GS on the complement (utils.py:84 semantics)

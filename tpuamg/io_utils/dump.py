@@ -1,0 +1,65 @@
+"""System dump/load: the assemble -> solve -> visualize checkpoint pipeline.
+
+Format-compatible with the reference's handoff files (SURVEY.md §5.4):
+- ``A.npy``: COO triplets ``np.c_[row, col, data]``
+  (/root/reference/src/utils.py:304-333),
+- ``b.npy``: dense RHS vector,
+- ``idofs.npy`` / ``idofs3d.npy``: interface / 3d dof index ranges,
+- ``solution.txt``: length-prefixed flat solution vector
+  (/root/reference/src/emi_3d1d.py:150-152).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..sparse import HostCSR
+
+
+def dump_system(A: HostCSR, b, sizes, folder):
+    """Write A (COO), b, idofs, idofs3d — utils.py:304-333 layout."""
+    os.makedirs(folder, exist_ok=True)
+    r, c, v = A.to_coo()
+    assert np.all(np.isfinite(v))
+    assert np.all(np.isfinite(b))
+    np.save(os.path.join(folder, "A.npy"),
+            np.c_[r.astype(np.float64), c.astype(np.float64), v])
+    np.save(os.path.join(folder, "b.npy"), np.asarray(b, dtype=np.float64))
+    n1 = sizes[0]
+    ntot = sum(sizes)
+    np.save(os.path.join(folder, "idofs.npy"),
+            np.arange(n1, ntot, dtype=np.int32))
+    np.save(os.path.join(folder, "idofs3d.npy"),
+            np.arange(n1, dtype=np.int32))
+
+
+def load_system(folder):
+    """Read the dump back: (A: HostCSR, b, idofs, idofs3d)."""
+    coo = np.load(os.path.join(folder, "A.npy"))
+    b = np.load(os.path.join(folder, "b.npy"))
+    idofs = np.load(os.path.join(folder, "idofs.npy"))
+    idofs3d = np.load(os.path.join(folder, "idofs3d.npy"))
+    n = len(b)
+    A = HostCSR.from_coo(coo[:, 0].astype(np.int64),
+                         coo[:, 1].astype(np.int64), coo[:, 2], (n, n))
+    return A, b, idofs, idofs3d
+
+
+def write_solution(path_or_dir, x):
+    """solution.txt: first entry is the length (emi_3d1d.py:150-152)."""
+    path = path_or_dir
+    if os.path.isdir(path_or_dir):
+        path = os.path.join(path_or_dir, "solution.txt")
+    out = np.concatenate([[float(len(x))], np.asarray(x, dtype=np.float64)])
+    np.savetxt(path, out)
+    return path
+
+
+def read_solution(path_or_dir):
+    path = path_or_dir
+    if os.path.isdir(path_or_dir):
+        path = os.path.join(path_or_dir, "solution.txt")
+    sol = np.loadtxt(path)
+    size = int(sol[0])
+    return sol[1:1 + size]

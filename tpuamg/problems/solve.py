@@ -1,0 +1,131 @@
+"""Preconditioner factories + monolithic solve orchestration.
+
+Rebuilds the used surface of /root/reference/src/utils.py:9-127:
+- ``get_block_diag_precond``  (exact per-block solves, 'diag' mode)
+- ``get_hazmath_amg_precond`` ('hazmath', 'hazmath_Schwarz': UA-AMG on the
+  monolithic operator, VMB aggregation)
+- ``get_hazmath_metric_precond[_mono]`` ('metric', 'metric_mono',
+  'hazmath_HEM': metric AMG with HEM aggregation + interface Schwarz,
+  metricAMG(A, W, idofs, parameters) semantics, utils.py:86-88)
+- ``solve_haznics`` ('metric_hazmath': the all-native solve —
+  here: the fully-jitted PCG+cycle XLA program, utils.py:95-127)
+
+All preconditioner applications and the PCG loop are one compiled XLA
+program; setup runs on host (SURVEY.md §3.1 split).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse import HostCSR, ELL, matvec_op
+from ..amg import setup_amg, as_operator
+from ..config import AMGParameters, PRESETS
+from ..krylov import pcg, minres, gmres
+
+
+@dataclass
+class SolveReport:
+    x: np.ndarray
+    niters: int
+    converged: bool
+    cond: float
+    r_norm: float
+    t_setup: float
+    t_solve: float
+    residuals: np.ndarray
+
+
+def _dense_inv_op(A: HostCSR, dtype):
+    inv = jnp.asarray(np.linalg.inv(A.toarray()), dtype=dtype)
+    return jax.tree_util.Partial(
+        lambda M, r: M @ r, inv)
+
+
+def block_diag_precond(blocks, dtype=jnp.float64, size_limit=30000):
+    """Exact block-diagonal preconditioner (LU role of utils.py:9-12).
+
+    Small blocks invert densely (the UMFPACK stand-in); larger blocks fall
+    back to a tightly-converged AMG-preconditioned inner solve expressed as
+    a few V-cycles (still a fixed linear operator, so outer CG stays
+    valid)."""
+    ops = []
+    offs = [0]
+    for B in blocks:
+        nb = B.shape[0]
+        offs.append(offs[-1] + nb)
+        if nb <= size_limit:
+            ops.append(_dense_inv_op(B, dtype))
+        else:
+            prm = AMGParameters(aggregation_type="vmb", cycle_type="v",
+                                maxit=3,
+                                dtype=np.dtype(dtype).name)
+            ops.append(as_operator(setup_amg(B, prm)))
+
+    def _apply(ops_, r):
+        return jnp.concatenate(
+            [ops_[i](r[offs[i]:offs[i + 1]]) for i in range(len(ops_))])
+
+    return jax.tree_util.Partial(_apply, tuple(ops))
+
+
+def make_preconditioner(precond: str, A: HostCSR, sizes, idofs=None,
+                        params: AMGParameters = None, blocks=None,
+                        dtype=jnp.float64):
+    """Map the reference's -precond choices to AMG setups
+    (/root/reference/src/bidomain_2d.py:155-160, 190-203)."""
+    if precond == "diag":
+        assert blocks is not None
+        return block_diag_precond(blocks, dtype=dtype)
+    from dataclasses import replace
+    if params is None:
+        params = {
+            "hazmath": PRESETS["standard"],
+            "hazmath_Schwarz": PRESETS["standard_schwarz"],
+            "hazmath_HEM": PRESETS["metric"],
+            "metric": PRESETS["metric_schwarz"],
+            "metric_mono": PRESETS["metric_schwarz"],
+            "metric_hazmath": PRESETS["metric_schwarz"],
+        }[precond]
+    wanted = np.dtype(dtype).name
+    if params.dtype != wanted:
+        params = replace(params, dtype=wanted)
+    # Plain 'hazmath' uses no interface information (utils.py:15-42);
+    # the Schwarz/metric family consumes idofs (utils.py:84-88).
+    if precond == "hazmath":
+        idofs = None
+    prec = setup_amg(A, params, idofs=idofs)
+    return as_operator(prec)
+
+
+def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
+                 params: AMGParameters = None, blocks=None,
+                 tol=1e-8, maxiter=500, method="cg",
+                 dtype=jnp.float64, callback=None) -> SolveReport:
+    t0 = time.time()
+    M = make_preconditioner(precond, A, sizes, idofs=idofs, params=params,
+                            blocks=blocks, dtype=dtype)
+    t_setup = time.time() - t0
+    Ae = ELL.from_host(A, dtype=dtype)
+    bj = jnp.asarray(b, dtype=dtype)
+    t0 = time.time()
+    if method == "cg":
+        res = pcg(matvec_op(Ae), bj, M=M, tol=tol, maxiter=maxiter,
+                  callback=callback)
+        cond = res.cond
+    elif method == "minres":
+        res = minres(matvec_op(Ae), bj, M=M, tol=tol, maxiter=maxiter)
+        cond = float("nan")
+    else:
+        res = gmres(matvec_op(Ae), bj, M=M, tol=tol, maxiter=maxiter)
+        cond = float("nan")
+    x = np.asarray(res.x)
+    t_solve = time.time() - t0
+    return SolveReport(
+        x=x, niters=res.niters, converged=res.converged, cond=cond,
+        r_norm=float(res.residuals[-1]), t_setup=t_setup, t_solve=t_solve,
+        residuals=res.residuals)
