@@ -34,11 +34,31 @@ def _p1_gradients(mesh: Mesh):
 
 
 def stiffness_matrix(mesh: Mesh, kappa=1.0) -> HostCSR:
-    """∫ kappa ∇u·∇v dx.  kappa: scalar or per-cell array."""
-    grads, vols = _p1_gradients(mesh)
+    """∫ kappa ∇u·∇v dx.  kappa: scalar or per-cell array.
+
+    Works on manifold meshes (tdim < gdim, e.g. the 1D neuron curve in R^3,
+    emi_3d1d.py:80) using tangential gradients via the Gram inverse."""
     kap = np.broadcast_to(np.asarray(kappa, dtype=np.float64),
                           (mesh.num_cells,))
-    Ke = np.einsum("cid,cjd->cij", grads, grads) * (kap * vols)[:, None, None]
+    if mesh.tdim == mesh.gdim:
+        grads, vols = _p1_gradients(mesh)
+        Ke = np.einsum("cid,cjd->cij", grads, grads) \
+            * (kap * vols)[:, None, None]
+        return _scatter_cell_matrices(mesh, Ke)
+    # manifold: grad lam_i . grad lam_j = (G^{-1})_{ij} for i,j >= 1,
+    # lam_0 = 1 - sum(lam_i)
+    X = mesh.cell_coords()
+    D = X[:, 1:] - X[:, :1]                       # (nc, tdim, g)
+    G = np.einsum("cik,cjk->cij", D, D)
+    Ginv = np.linalg.inv(G)
+    vols = mesh.cell_volumes()
+    d = mesh.tdim
+    B = np.zeros((mesh.num_cells, d + 1, d + 1))
+    B[:, 1:, 1:] = Ginv
+    B[:, 0, 1:] = -Ginv.sum(axis=1)
+    B[:, 1:, 0] = -Ginv.sum(axis=2)
+    B[:, 0, 0] = Ginv.sum(axis=(1, 2))
+    Ke = B * (kap * vols)[:, None, None]
     return _scatter_cell_matrices(mesh, Ke)
 
 

@@ -83,13 +83,17 @@ def make_preconditioner(precond: str, A: HostCSR, sizes, idofs=None,
         return block_diag_precond(blocks, dtype=dtype)
     from dataclasses import replace
     if params is None:
+        # 'metric'/'metric_mono' with no explicit parameters fall back to
+        # the metricAMG defaults of utils.py:60-82 (Schwarz_maxlvl=2); the
+        # bidomain driver overrides these with parameters_metric_schwarz
+        # (bidomain_2d.py:201) by passing params explicitly.
         params = {
             "hazmath": PRESETS["standard"],
             "hazmath_Schwarz": PRESETS["standard_schwarz"],
             "hazmath_HEM": PRESETS["metric"],
-            "metric": PRESETS["metric_schwarz"],
-            "metric_mono": PRESETS["metric_schwarz"],
-            "metric_hazmath": PRESETS["metric_schwarz"],
+            "metric": PRESETS["metric_mono_default"],
+            "metric_mono": PRESETS["metric_mono_default"],
+            "metric_hazmath": PRESETS["metric_mono_default"],
         }[precond]
     wanted = np.dtype(dtype).name
     if params.dtype != wanted:

@@ -108,12 +108,21 @@ class MulticolorGS:
 
 
 def build_multicolor_gs(A_host: HostCSR, omega=1.0, symmetric=True,
-                        active=None, dtype=jnp.float32):
+                        active=None, max_colors=24, dtype=jnp.float32):
     """active: optional bool mask / index set — only these rows are updated
     (used by the metric smoother to GS the non-interface dofs only,
-    /root/reference/src/utils.py:84)."""
-    colors = greedy_color(A_host)
+    /root/reference/src/utils.py:84).
+
+    Rows in the overflow color group (see greedy_color) may share edges;
+    they get l1-diagonal damping instead of 1/diag, which keeps the sweep
+    convergent for SPD A whatever the group topology."""
+    colors = greedy_color(A_host, max_colors=max_colors)
     d = A_host.diagonal()
+    overflow = int(colors.max()) == max_colors
+    if overflow:
+        r, _, v = A_host.to_coo()
+        l1 = np.zeros(A_host.shape[0])
+        np.add.at(l1, r, np.abs(v))
     ncol = int(colors.max()) + 1
     act = np.ones(A_host.shape[0], dtype=bool)
     if active is not None:
@@ -130,7 +139,8 @@ def build_multicolor_gs(A_host: HostCSR, omega=1.0, symmetric=True,
             continue
         rows.append(ELL.from_host(slice_rows(A_host, ids), dtype=dtype))
         ids_l.append(jnp.asarray(ids, dtype=jnp.int32))
-        invd_l.append(jnp.asarray(1.0 / d[ids], dtype=dtype))
+        scale = d[ids] if not (overflow and c == max_colors) else l1[ids]
+        invd_l.append(jnp.asarray(1.0 / scale, dtype=dtype))
     return MulticolorGS(rows, ids_l, invd_l, omega, symmetric)
 
 

@@ -286,6 +286,21 @@ def bmat(blocks) -> HostCSR:
         (int(roff[-1]), int(coff[-1])))
 
 
+def extract_diag_blocks(A: HostCSR, sizes):
+    """Split a monolithic matrix back into its diagonal blocks
+    (inverse companion of bmat for block-diag preconditioning)."""
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    r, c, v = A.to_coo()
+    out = []
+    for i in range(len(sizes)):
+        lo, hi = offs[i], offs[i + 1]
+        m = (r >= lo) & (r < hi) & (c >= lo) & (c < hi)
+        out.append(HostCSR.from_coo(r[m] - lo, c[m] - lo, v[m],
+                                    (sizes[i], sizes[i]),
+                                    sum_duplicates=False))
+    return out
+
+
 def rap(R: HostCSR, A: HostCSR, P: HostCSR) -> HostCSR:
     """Galerkin triple product R @ A @ P."""
     return R.matmat(A.matmat(P))
@@ -303,12 +318,16 @@ def rap_unsmoothed(A: HostCSR, agg: np.ndarray, nagg: int) -> HostCSR:
     return HostCSR.from_coo(cr[m], cc[m], v[m], (nagg, nagg))
 
 
-def greedy_color(A: HostCSR, max_colors=64) -> np.ndarray:
+def greedy_color(A: HostCSR, max_colors=24) -> np.ndarray:
     """Greedy graph coloring of the symmetric sparsity pattern of A.
 
     Used to build multicolor Gauss-Seidel sweeps (the TPU-parallel stand-in
     for HAZmath's sequential SGS smoother, SURVEY.md §7 risk list).
-    Returns color[i] in [0, ncolors)."""
+    Returns color[i] in [0, ncolors].  Rows that would need more than
+    `max_colors` colors (near-dense rows, e.g. 3D dofs coupled through a
+    cylinder-average operator) are assigned the overflow color
+    ``max_colors``; the smoother builder damps those rows l1-Jacobi-style,
+    which is convergent regardless of neighbors sharing the group."""
     n = A.shape[0]
     colors = np.full(n, -1, dtype=np.int32)
     indptr, indices = A.indptr, A.indices
@@ -319,7 +338,5 @@ def greedy_color(A: HostCSR, max_colors=64) -> np.ndarray:
         c = 0
         while c in used:
             c += 1
-        if c >= max_colors:
-            raise RuntimeError("coloring exceeded max_colors")
-        colors[i] = c
+        colors[i] = min(c, max_colors)
     return colors
