@@ -227,17 +227,22 @@ def _batch_isolated_rows(A: HostCSR, agg, nagg, max_aggregation):
 
 
 def setup_amg(A_host: HostCSR, params: AMGParameters = AMGParameters(),
-              idofs=None) -> MGPreconditioner:
+              idofs=None, pad_multiple=1) -> MGPreconditioner:
     """Build the multilevel hierarchy on host, ship to device.
 
     idofs: interface dof indices — rows that get the Schwarz treatment on
     Schwarz-enabled levels (metricAMG semantics,
     /root/reference/src/utils.py:86-88). Propagated to coarse levels
-    through the aggregation map."""
+    through the aggregation map.
+
+    pad_multiple: pad every level's row count to this multiple with inert
+    identity rows so all per-row arrays are divisible by the device-mesh
+    size (dist.sharding); callers must pad the RHS to match."""
+    from ..sparse.host import pad_csr_identity
     dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
     aggregate = AGGREGATORS[params.aggregation_type]
     levels = []
-    A = A_host
+    A = pad_csr_identity(A_host, pad_multiple)
     cur_idofs = None if idofs is None else np.asarray(idofs, dtype=np.int64)
     while (len(levels) < params.max_levels - 1
            and A.shape[0] > params.coarse_dof):
@@ -270,6 +275,8 @@ def setup_amg(A_host: HostCSR, params: AMGParameters = AMGParameters(),
         if nagg > 0.85 * A.shape[0]:   # stagnation — dense-solve the rest
             break
         if params.amg_type == "sa":
+            assert pad_multiple == 1, \
+                "sharded SA transfers not supported yet (UA/agg path only)"
             P_t = tentative_prolongator(agg, nagg)
             P = smoothed_prolongator(A, P_t, params.strong_coupled)
             R = P.T
@@ -282,12 +289,13 @@ def setup_amg(A_host: HostCSR, params: AMGParameters = AMGParameters(),
                 P=ELL.from_host(P, dtype=dtype),
                 R=ELL.from_host(R, dtype=dtype), nc=nagg))
         else:
-            Ac = rap_unsmoothed(A, agg, nagg)
+            Ac = pad_csr_identity(rap_unsmoothed(A, agg, nagg),
+                                  pad_multiple)
             smoother = _build_level_smoother(A, params, len(levels),
                                              cur_idofs, dtype)
             levels.append(MGLevel(
                 ELL.from_host(A, dtype=dtype), smoother,
-                agg=jnp.asarray(agg, dtype=jnp.int32), nc=nagg))
+                agg=jnp.asarray(agg, dtype=jnp.int32), nc=Ac.shape[0]))
         if cur_idofs is not None:
             cur_idofs = np.unique(agg[cur_idofs])
             cur_idofs = cur_idofs[cur_idofs >= 0]

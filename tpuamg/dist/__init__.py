@@ -1,0 +1,7 @@
+from .sharding import (device_mesh, shard_ell, shard_vector,
+                       shard_preconditioner, replicate)
+from .solve import distributed_solve, distributed_pcg_step
+
+__all__ = ["device_mesh", "shard_ell", "shard_vector",
+           "shard_preconditioner", "replicate", "distributed_solve",
+           "distributed_pcg_step"]

@@ -1,0 +1,144 @@
+"""Sharding layer: row-partitioned sparse solver over a device mesh.
+
+The reference is a serial C solver (SURVEY.md §2b "MPI": none in the main
+path); distribution is a NEW first-class layer in the TPU build
+(BASELINE.md north star).  Design follows the XLA/GSPMD recipe: pick a
+1-D mesh axis "p", annotate row-sharded layouts on every per-row array
+(ELL planes, smoother slices, aggregate maps, vectors), keep coarse-grid
+data replicated, and let XLA insert the collectives (all-gathers for SpMV
+column footprints, psums for Krylov dot products).  Manual halo-exchange
+kernels (ppermute/RDMA) are the optimization pass on top — the semantics
+layer is shardings.
+
+Scaling model: the fine-grid rows (the memory+bandwidth hog) are split
+across devices; coarse levels below `replicate_below` rows stay replicated
+(redundant coarse solves — the standard small-coarse-grid strategy; coarse
+agglomeration onto device subsets is the planned refinement).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sparse import ELL
+from ..amg.hierarchy import MGLevel, MGPreconditioner
+from ..smoothers import (JacobiSmoother, L1JacobiSmoother,
+                         ChebyshevSmoother, MulticolorGS, SchwarzSmoother,
+                         MetricSmoother)
+
+
+def device_mesh(n_devices=None, devices=None):
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.array(devices), ("p",))
+
+
+def _put(x, mesh, spec):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh):
+    return jax.tree_util.tree_map(
+        lambda a: _put(a, mesh, P()) if hasattr(a, "shape") else a, x)
+
+
+def shard_ell(A: ELL, mesh) -> ELL:
+    """Row-shard the ELL planes across the mesh axis."""
+    return ELL(_put(A.cols, mesh, P("p", None)),
+               _put(A.vals, mesh, P("p", None)), A.shape, A.nnz)
+
+
+def shard_vector(v, mesh):
+    return _put(v, mesh, P("p"))
+
+
+def _pad_rows(a, mult, fill):
+    """Pad leading dim to a multiple of mult with `fill`."""
+    n = a.shape[0]
+    n2 = ((n + mult - 1) // mult) * mult
+    if n2 == n:
+        return a
+    pad = jnp.full((n2 - n,) + tuple(a.shape[1:]), fill, dtype=a.dtype)
+    return jnp.concatenate([a, pad], axis=0)
+
+
+def _shard_smoother(sm, mesh, row_sharded, nrows=0):
+    """Shard smoother state: per-row arrays follow the rows; color slices
+    and Schwarz block batches are sharded on their own leading dim, padded
+    to mesh divisibility with inert rows (ghost column targets and zero
+    scaling, so padded updates add exactly 0)."""
+    ndev = mesh.devices.size
+    if isinstance(sm, (JacobiSmoother, L1JacobiSmoother)):
+        invd = _put(sm.invd, mesh, P("p") if row_sharded else P())
+        return type(sm)(invd, sm.omega)
+    if isinstance(sm, ChebyshevSmoother):
+        invd = _put(sm.invd, mesh, P("p") if row_sharded else P())
+        return ChebyshevSmoother(invd, sm.lmax, sm.lmin, sm.degree)
+    if isinstance(sm, MulticolorGS):
+        spec_m = P("p", None) if row_sharded else P()
+        spec_v = P("p") if row_sharded else P()
+        rows, ids, invd = [], [], []
+        for e, i, d in zip(sm.color_rows, sm.color_ids, sm.color_invd):
+            if row_sharded:
+                # pad: ghost-column matrix rows, ids -> row 0, invd -> 0
+                e = ELL(_pad_rows(e.cols, ndev, e.shape[1]),
+                        _pad_rows(e.vals, ndev, 0), e.shape, e.nnz)
+                i = _pad_rows(i, ndev, 0)
+                d = _pad_rows(d, ndev, 0)
+            rows.append(ELL(_put(e.cols, mesh, spec_m),
+                            _put(e.vals, mesh, spec_m), e.shape, e.nnz))
+            ids.append(_put(i, mesh, spec_v))
+            invd.append(_put(d, mesh, spec_v))
+        return MulticolorGS(tuple(rows), tuple(ids), tuple(invd),
+                            sm.omega, sm.symmetric)
+    if isinstance(sm, SchwarzSmoother):
+        spec_i = P("p", None) if row_sharded else P()
+        spec_b = P("p", None, None) if row_sharded else P()
+        ids, inv = [], []
+        for i, v in zip(sm.dof_ids, sm.inv_blocks):
+            if row_sharded:
+                # ghost blocks: all dofs point at the x-pad slot (= nrows),
+                # zero inverse -> contributes exactly nothing
+                i = _pad_rows(i, ndev, nrows)
+                v = _pad_rows(v, ndev, 0)
+            ids.append(_put(i, mesh, spec_i))
+            inv.append(_put(v, mesh, spec_b))
+        return SchwarzSmoother(tuple(ids), tuple(inv), sm.symmetric,
+                               sm.additive, sm.weight)
+    if isinstance(sm, MetricSmoother):
+        return MetricSmoother(
+            _shard_smoother(sm.schwarz, mesh, row_sharded, nrows),
+            _shard_smoother(sm.gs, mesh, row_sharded, nrows)
+            if sm.gs is not None else None)
+    return sm
+
+
+def shard_preconditioner(prec: MGPreconditioner, mesh,
+                         replicate_below=4096) -> MGPreconditioner:
+    """Row-shard fine levels; replicate levels below the size threshold
+    (and the coarse dense inverse)."""
+    levels = []
+    for L in prec.levels:
+        row_sharded = L.A.shape[0] >= replicate_below
+        spec_m = P("p", None) if row_sharded else P()
+        spec_v = P("p") if row_sharded else P()
+        A = ELL(_put(L.A.cols, mesh, spec_m),
+                _put(L.A.vals, mesh, spec_m), L.A.shape, L.A.nnz)
+        agg = _put(L.agg, mesh, spec_v) if L.agg is not None else None
+        Pm = ELL(_put(L.P.cols, mesh, spec_m),
+                 _put(L.P.vals, mesh, spec_m), L.P.shape, L.P.nnz) \
+            if L.P is not None else None
+        Rm = ELL(_put(L.R.cols, mesh, spec_m),
+                 _put(L.R.vals, mesh, spec_m), L.R.shape, L.R.nnz) \
+            if L.R is not None else None
+        sm = _shard_smoother(L.smoother, mesh, row_sharded,
+                             nrows=L.A.shape[0])
+        levels.append(MGLevel(A, sm, agg=agg, P=Pm, R=Rm, nc=L.nc))
+    coarse_inv = _put(prec.coarse_inv, mesh, P())
+    return MGPreconditioner(levels, coarse_inv, cycle=prec.cycle,
+                            maxit=prec.maxit, presmooth=prec.presmooth,
+                            postsmooth=prec.postsmooth,
+                            amli_degree=prec.amli_degree,
+                            max_w_work=prec.max_w_work)

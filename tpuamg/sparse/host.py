@@ -286,6 +286,24 @@ def bmat(blocks) -> HostCSR:
         (int(roff[-1]), int(coff[-1])))
 
 
+def pad_csr_identity(A: HostCSR, multiple: int) -> HostCSR:
+    """Pad a square matrix with identity rows/cols so the size becomes a
+    multiple of `multiple` (device-mesh divisibility for row sharding).
+    Identity pad rows are inert: zero RHS keeps them at zero through
+    smoothing, and the aggregation path batches them like eliminated
+    Dirichlet rows."""
+    n = A.shape[0]
+    n2 = ((n + multiple - 1) // multiple) * multiple
+    if n2 == n:
+        return A
+    r, c, v = A.to_coo()
+    extra = np.arange(n, n2)
+    return HostCSR.from_coo(
+        np.concatenate([r, extra]), np.concatenate([c, extra]),
+        np.concatenate([v, np.ones(n2 - n, dtype=A.data.dtype)]),
+        (n2, n2), sum_duplicates=False)
+
+
 def extract_diag_blocks(A: HostCSR, sizes):
     """Split a monolithic matrix back into its diagonal blocks
     (inverse companion of bmat for block-diag preconditioning)."""
