@@ -19,13 +19,17 @@ import os
 import sys
 import time
 
-BENCH_N = int(os.environ.get("TPUAMG_BENCH_N", "256"))
+BENCH_N = int(os.environ.get("TPUAMG_BENCH_N", "512"))
 ITERS = int(os.environ.get("TPUAMG_BENCH_ITERS", "50"))
+CYCLE = os.environ.get("TPUAMG_BENCH_CYCLE", "v")
+CHEB = int(os.environ.get("TPUAMG_BENCH_CHEB", "4"))
+COARSE = int(os.environ.get("TPUAMG_BENCH_COARSE", "2048"))
 GAMMA = 1e6
 # serial-CPU throughput of this same workload on the dev host (2-vCPU),
-# measured with JAX_PLATFORMS=cpu — the stand-in for the reference's
-# serial CPU solve (BASELINE.md: reference publishes no numbers)
-CPU_BASELINE_NNZ_PER_S = 1.05e8
+# measured with JAX_PLATFORMS=cpu on the identical n=512 V-cycle config —
+# the stand-in for the reference's serial CPU solve (BASELINE.md:
+# reference publishes no numbers)
+CPU_BASELINE_NNZ_PER_S = 6.55e8
 
 
 def cycle_nnz_per_iteration(prec, fine_nnz):
@@ -70,18 +74,24 @@ def main():
     t_asm = time.time() - t0
 
     from dataclasses import replace
+    from tpuamg.amg.grid import setup_grid, grid_system
+    from tpuamg.sparse.dia import dia_matvec_op
     t0 = time.time()
-    # V-cycle for the throughput workload: same smoother stack as the
-    # metric preset, linear trace depth (compile time), highest nnz/s.
-    prec = setup_amg(A, replace(PRESETS["metric_schwarz"],
-                                dtype="float32", cycle_type="v"),
-                     idofs=idofs)
+    # structured grid path (DIA + reshape transfers + nodal-block
+    # Chebyshev): the gather-free TPU pipeline; W-cycle per the metric
+    # preset (h-robust)
+    prm = replace(PRESETS["metric_schwarz"], dtype="float32",
+                  cycle_type=CYCLE, coarse_dof=COARSE)
+    prec, slots, nsl = setup_grid(A, (BENCH_N + 1, BENCH_N + 1), F=2,
+                                  params=prm, dtype=jnp.float32,
+                                  cheb_degree=CHEB)
     t_setup = time.time() - t0
 
     dtype = jnp.float32
-    Ae = ELL.from_host(A, dtype=dtype)
-    bj = jnp.asarray(b, dtype=dtype)
-    Afn = matvec_op(Ae)
+    Adia = grid_system(A, slots, dtype=dtype)
+    bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
+        jnp.asarray(b, dtype=dtype))
+    Afn = dia_matvec_op(Adia)
     Mfn = as_operator(prec)
 
     # warmup/compile (tiny-but-nonzero tol: run all ITERS iterations

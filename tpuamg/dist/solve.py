@@ -86,9 +86,11 @@ def distributed_pcg_step(A_host: HostCSR, b, params: AMGParameters = None,
     Afn = matvec_op(Ae)
     Mfn = as_operator(prec)
 
-    @jax.jit
+    # operators as traced args (Partial pytrees), not closure constants
+    jitted = jax.jit(_cg_step)
+
     def step(x, r, z, p, rz):
-        return _cg_step(Afn, Mfn, x, r, z, p, rz)
+        return jitted(Afn, Mfn, x, r, z, p, rz)
 
     x0 = jnp.zeros_like(bj)
     r0 = bj

@@ -16,12 +16,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def vectorize(f_scalar):
-    """(gdim,) -> scalar  ==>  (n, gdim) -> (n,) numpy evaluator."""
+    """(gdim,) -> scalar  ==>  (n, gdim) -> (n,) numpy evaluator.
+
+    Pinned to the CPU backend: MMS evaluation feeds *host-side* assembly
+    and error quadrature; shipping millions of quadrature points through a
+    remote TPU would dominate setup time."""
     fv = jax.jit(jax.vmap(f_scalar))
 
     def call(pts):
-        return np.asarray(fv(jnp.asarray(pts, dtype=jnp.float64)))
+        cpu = _cpu_device()
+        with jax.default_device(cpu):
+            return np.asarray(fv(jnp.asarray(pts, dtype=jnp.float64)))
     return call
 
 
@@ -30,7 +43,9 @@ def vectorize_vec(f_vec):
     fv = jax.jit(jax.vmap(f_vec))
 
     def call(pts):
-        return np.asarray(fv(jnp.asarray(pts, dtype=jnp.float64)))
+        cpu = _cpu_device()
+        with jax.default_device(cpu):
+            return np.asarray(fv(jnp.asarray(pts, dtype=jnp.float64)))
     return call
 
 

@@ -52,17 +52,28 @@ def run(args, dim=2, start_exp=5, name="bidomain_2d"):
         amg_params = PRESETS["metric_schwarz"] if args.precond in (
             "metric", "metric_mono", "metric_hazmath") else None
 
+        grid = None
+        if getattr(args, "backend", "algebraic") == "grid":
+            grid = ((ncells + 1,) * dim, 2)
+
         then = time.time()
         rep = solve_system(A, b, args.precond, sizes, idofs=idofs,
                            params=amg_params,
                            blocks=blocks, tol=1e-8, maxiter=500,
-                           dtype=dtype)
+                           dtype=dtype, grid=grid)
         ksp_dt = time.time() - then
 
         e1, e2 = compute_errors(mesh, data, rep.x, sizes)
         tables.add(sum(sizes), rep.niters, rep.cond, ksp_dt, rep.r_norm,
                    mesh.hmin(), [e1, e2])
         tables.show()
+
+    if args.save:
+        # PVD/VTU output role of bidomain_2d.py:276-278
+        from ..io_utils.vtk import write_vtu
+        base = f"./results/{name}/uh{{}}_{config_tag(args)}.vtu"
+        write_vtu(base.format(0), mesh, rep.x[:sizes[0]])
+        write_vtu(base.format(1), mesh, rep.x[sizes[0]:])
     return tables
 
 

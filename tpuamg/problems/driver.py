@@ -38,6 +38,10 @@ def standard_parser(default_precond, precond_choices):
     p.add_argument("-dtype", type=str, default="float64",
                    choices=("float32", "float64"),
                    help="device dtype for the solve phase")
+    p.add_argument("-backend", type=str, default="algebraic",
+                   choices=("algebraic", "grid"),
+                   help="algebraic = general ELL hierarchy; grid = "
+                        "gather-free structured-grid hierarchy (TPU path)")
     return p
 
 

@@ -59,6 +59,12 @@ def run(args, dim=2, start_exp=6, name="emi_2d"):
         tables.add(sum(sizes), rep.niters, rep.cond, ksp_dt, rep.r_norm,
                    mesh1.hmin(), [e1, e2])
         tables.show()
+
+    if args.save:
+        from ..io_utils.vtk import write_vtu
+        base = f"./results/{name}/uh{{}}_{config_tag(args)}.vtu"
+        write_vtu(base.format(0), mesh1, rep.x[:sizes[0]])
+        write_vtu(base.format(1), mesh2, rep.x[sizes[0]:])
     return tables
 
 

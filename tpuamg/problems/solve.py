@@ -109,25 +109,50 @@ def make_preconditioner(precond: str, A: HostCSR, sizes, idofs=None,
 def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  params: AMGParameters = None, blocks=None,
                  tol=1e-8, maxiter=500, method="cg",
-                 dtype=jnp.float64, callback=None) -> SolveReport:
-    t0 = time.time()
-    M = make_preconditioner(precond, A, sizes, idofs=idofs, params=params,
-                            blocks=blocks, dtype=dtype)
-    t_setup = time.time() - t0
-    Ae = ELL.from_host(A, dtype=dtype)
-    bj = jnp.asarray(b, dtype=dtype)
+                 dtype=jnp.float64, callback=None,
+                 grid=None) -> SolveReport:
+    """grid: optional (dims, F) — use the gather-free structured-grid
+    hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
+    problems; None = the general algebraic ELL path."""
+    slots = None
+    if grid is not None and precond not in ("diag",):
+        from dataclasses import replace
+        from ..amg.grid import setup_grid, grid_system
+        from ..sparse.dia import dia_matvec_op
+        dims, F = grid
+        prm = params or PRESETS["metric_schwarz"]
+        wanted = np.dtype(dtype).name
+        if prm.dtype != wanted:
+            prm = replace(prm, dtype=wanted)
+        t0 = time.time()
+        prec, slots, nsl = setup_grid(A, dims, F=F, params=prm,
+                                      dtype=dtype)
+        t_setup = time.time() - t0
+        Aop = dia_matvec_op(grid_system(A, slots, dtype=dtype))
+        bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
+            jnp.asarray(b, dtype=dtype))
+        M = as_operator(prec)
+    else:
+        t0 = time.time()
+        M = make_preconditioner(precond, A, sizes, idofs=idofs,
+                                params=params, blocks=blocks, dtype=dtype)
+        t_setup = time.time() - t0
+        Aop = matvec_op(ELL.from_host(A, dtype=dtype))
+        bj = jnp.asarray(b, dtype=dtype)
     t0 = time.time()
     if method == "cg":
-        res = pcg(matvec_op(Ae), bj, M=M, tol=tol, maxiter=maxiter,
+        res = pcg(Aop, bj, M=M, tol=tol, maxiter=maxiter,
                   callback=callback)
         cond = res.cond
     elif method == "minres":
-        res = minres(matvec_op(Ae), bj, M=M, tol=tol, maxiter=maxiter)
+        res = minres(Aop, bj, M=M, tol=tol, maxiter=maxiter)
         cond = float("nan")
     else:
-        res = gmres(matvec_op(Ae), bj, M=M, tol=tol, maxiter=maxiter)
+        res = gmres(Aop, bj, M=M, tol=tol, maxiter=maxiter)
         cond = float("nan")
     x = np.asarray(res.x)
+    if slots is not None:
+        x = x[slots]
     t_solve = time.time() - t0
     return SolveReport(
         x=x, niters=res.niters, converged=res.converged, cond=cond,

@@ -1,6 +1,6 @@
 """DIA (diagonal) sparse format — the gather-free TPU hot-path format.
 
-Empirical driver (see tests/test_perf_notes.md): on this TPU toolchain,
+Empirical driver (see docs/PERF_NOTES.md): on this TPU toolchain,
 gathers with multi-dimensional index arrays inside `lax.while_loop` bodies
 compile catastrophically (minutes) and run ~100x below bandwidth, while
 static slices + FMA run at full speed.  FE matrices from structured meshes
