@@ -30,11 +30,12 @@ def test_solution_roundtrip(tmp_path):
 
 def test_dat_parser():
     amg, sol = dat_to_amg_parameters("tpuamg/problems/input_metric.dat")
-    assert amg.amg_type == "sa"
+    assert amg.amg_type == "ua"    # MUA: the robust xd-1D default
     assert amg.cycle_type == "v"
     assert amg.aggregation_type == "hem"
     assert amg.schwarz_levels == 1
     assert amg.schwarz_maxlvl == 2
+    assert amg.schwarz_mmsize == 500
     assert amg.schwarz_type == "symmetric"
     assert sol.method == "cg"
     assert sol.tolerance == 1e-6

@@ -91,6 +91,24 @@ def test_emi_3d1d_pipeline(tmp_path):
     assert any(f.endswith(".vtu") for f in os.listdir(dump))
 
 
+@pytest.mark.parametrize("gamma", ["1", "100000000"])
+def test_emi_3d1d_gamma_robust(tmp_path, gamma):
+    """Offline xd-1D solver must stay O(1) iterations across gamma —
+    regression for the Schwarz-block truncation bug (weight-unaware
+    mmsize capping silently dropped gamma-stiff couplings) and the
+    nonsymmetric-GS-postsmoother bug (forward GS pre+post made the cycle
+    nonsymmetric, invalidating CG)."""
+    from tpuamg.problems.emi_3d1d import main as emi_main
+    from tpuamg.problems.run_solver_3d1d import main as solver_main
+    d = str(tmp_path / "dump") + "/"
+    o = str(tmp_path / "out") + "/"
+    emi_main(["-gamma", gamma, "-radius", "0.2", "-dump", "1",
+              "-outdir", d, "-mesh_n", "6"])
+    rep = solver_main(["-infile", "tpuamg/problems/input_metric.dat",
+                       "-indir", d, "-outdir", o])
+    assert rep.converged and rep.niters <= 25, (gamma, rep.niters)
+
+
 def test_average_matrix_exactness():
     from tpuamg.fem import unit_cube_mesh
     from tpuamg.fem.coupling import average_matrix

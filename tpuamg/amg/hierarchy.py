@@ -104,6 +104,9 @@ class MGPreconditioner:
         L = self.levels[lvl]
         x = L.smoother.smooth(L.A, x, b, self.presmooth)
         r = b - L.A.matvec(x)
+        # NOTE: post-smoothing below passes reverse=True so nonsymmetric
+        # smoothers (forward GS) apply their transpose — keeping the whole
+        # cycle a symmetric operator, which CG requires.
         rc = L.restrict(r)
         ec = jnp.zeros(L.nc, dtype=b.dtype)
         # number of coarse-grid visits at the NEXT level
@@ -116,7 +119,7 @@ class MGPreconditioner:
         else:   # v (or degraded deep levels)
             ec = self._cycle(lvl + 1, rc, ec)
         x = x + L.prolong(ec)
-        x = L.smoother.smooth(L.A, x, b, self.postsmooth)
+        x = L.smoother.smooth(L.A, x, b, self.postsmooth, reverse=True)
         return x
 
     def _amli_inner(self, lvl, b, x):

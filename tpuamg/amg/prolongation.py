@@ -49,7 +49,12 @@ def filtered_matrix(A: HostCSR, theta=0.1) -> HostCSR:
 
 def smoothed_prolongator(A: HostCSR, P_tent: HostCSR, theta=0.1,
                          damp=4.0 / 3.0) -> HostCSR:
-    Af = filtered_matrix(A, theta)
+    # The prolongator-smoothing filter needs a positive threshold even when
+    # the aggregation strength threshold is 0 ("everything is strong"):
+    # smoothing P with an unfiltered operator that has near-dense rows
+    # (e.g. cylinder-average coupling, emi_3d1d) wrecks the Galerkin coarse
+    # operator (measured: cond 1e5 vs 1e2 on the 3D-1D system).
+    Af = filtered_matrix(A, max(theta, 0.05))
     lmax = max(estimate_lmax_dinv_a(Af), 1e-12)
     omega = damp / lmax
     d = Af.diagonal()

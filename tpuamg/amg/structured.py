@@ -79,7 +79,7 @@ class BlockChebyshevSmoother:
         return (jnp.einsum("bij,bj->bi", self.blockinv, rb).reshape(-1)
                 * self.mask)
 
-    def smooth(self, A: DIA, x, b, iters=1):
+    def smooth(self, A: DIA, x, b, iters=1, reverse=False):
         theta = 0.5 * (self.lmax + self.lmin)
         delta = 0.5 * (self.lmax - self.lmin)
         sigma1 = theta / delta

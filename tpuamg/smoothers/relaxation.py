@@ -39,7 +39,7 @@ class JacobiSmoother:
     def tree_unflatten(cls, aux, ch):
         return cls(*ch)
 
-    def smooth(self, A: ELL, x, b, iters=1):
+    def smooth(self, A: ELL, x, b, iters=1, reverse=False):
         for _ in range(iters):
             x = x + self.omega * self.invd * (b - A.matvec(x))
         return x
@@ -97,9 +97,11 @@ class MulticolorGS:
             x = x.at[ids].add(self.omega * invd * r)
         return x
 
-    def smooth(self, A: ELL, x, b, iters=1):
+    def smooth(self, A: ELL, x, b, iters=1, reverse=False):
         ncol = len(self.color_rows)
         fwd = tuple(range(ncol))
+        if reverse and not self.symmetric:
+            fwd = fwd[::-1]   # transpose sweep: keeps the cycle symmetric
         for _ in range(iters):
             x = self._half_sweep(x, b, fwd)
             if self.symmetric:
@@ -172,7 +174,7 @@ class ChebyshevSmoother:
         invd, lmax, lmin = ch
         return cls(invd, lmax, lmin, aux[0])
 
-    def smooth(self, A: ELL, x, b, iters=1):
+    def smooth(self, A: ELL, x, b, iters=1, reverse=False):
         # standard 3-term Chebyshev iteration (Saad) on D^{-1}A
         theta = 0.5 * (self.lmax + self.lmin)
         delta = 0.5 * (self.lmax - self.lmin)

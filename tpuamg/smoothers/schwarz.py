@@ -151,7 +151,7 @@ class SchwarzSmoother:
             self.weight * delta.reshape(-1))
         return xpad[:-1]
 
-    def smooth(self, A: ELL, x, b, iters=1):
+    def smooth(self, A: ELL, x, b, iters=1, reverse=False):
         ncol = len(self.dof_ids)
         for _ in range(iters):
             if self.additive:
@@ -165,7 +165,10 @@ class SchwarzSmoother:
                         self.weight * delta.reshape(-1))
                 x = xpad[:-1]
             else:
-                for c in range(ncol):
+                order = list(range(ncol))
+                if reverse and not self.symmetric:
+                    order = order[::-1]
+                for c in order:
                     x = self._color_update(A, x, b, c)
                 if self.symmetric:
                     for c in reversed(range(ncol)):
@@ -227,11 +230,11 @@ class MetricSmoother:
     def tree_unflatten(cls, aux, ch):
         return cls(*ch)
 
-    def smooth(self, A: ELL, x, b, iters=1):
+    def smooth(self, A: ELL, x, b, iters=1, reverse=False):
         for _ in range(iters):
             if self.gs is not None:
-                x = self.gs.smooth(A, x, b)
-            x = self.schwarz.smooth(A, x, b)
+                x = self.gs.smooth(A, x, b, reverse=reverse)
+            x = self.schwarz.smooth(A, x, b, reverse=reverse)
             if self.gs is not None:
-                x = self.gs.smooth(A, x, b)
+                x = self.gs.smooth(A, x, b, reverse=not reverse)
         return x

@@ -122,6 +122,60 @@ def _extract_dense_blocks(cols_np, vals_np, ids, n, chunk=8192):
     return out
 
 
+def seed_balls(A: HostCSR, seeds, maxlvl, mmsize):
+    """Padded (nb, m) dof ids of the maxlvl-balls at the seeds, computed
+    via ROW-SLICED |A|-products (never forms the full A^k pattern —
+    systems with near-dense rows, e.g. cylinder-average coupling, would
+    explode it). Pad value = n.
+
+    When a ball exceeds mmsize, members are kept by DESCENDING path weight
+    (|A| product magnitude), so the cap drops the weakest couplings —
+    truncating arbitrary members silently drops gamma-stiff couplings and
+    destroys robustness at extreme gamma (measured: 300 stalled iterations
+    vs 6 on the 3D-1D system at gamma=1e8)."""
+    from .relaxation import slice_rows
+    n = A.shape[0]
+    Gabs = HostCSR(A.indptr, A.indices, np.abs(A.data), A.shape).add(
+        HostCSR.eye(n))
+    B = slice_rows(Gabs, seeds)
+    for _ in range(maxlvl - 1):
+        B = B.matmat(Gabs)
+    lens = (B.indptr[1:] - B.indptr[:-1]).astype(np.int64)
+    m = int(min(lens.max(), mmsize))
+    ids = np.full((len(seeds), m), n, dtype=np.int32)
+    for k in range(len(seeds)):
+        sl = slice(B.indptr[k], B.indptr[k + 1])
+        row = B.indices[sl]
+        if len(row) > m:
+            keep = np.argsort(-B.data[sl])[:m]
+            row = row[keep]
+        ids[k, :len(row)] = np.sort(row)
+    return ids
+
+
+def _color_by_overlap(ids, n):
+    """Greedy coloring of blocks sharing any dof (padded id matrix)."""
+    nb, m = ids.shape
+    owner = [[] for _ in range(n + 1)]
+    for bi in range(nb):
+        for d in ids[bi]:
+            if d < n:
+                owner[d].append(bi)
+    colors = np.full(nb, -1, dtype=np.int32)
+    for bi in range(nb):
+        used = set()
+        for d in ids[bi]:
+            if d < n:
+                for bj in owner[d]:
+                    if bj != bi and colors[bj] >= 0:
+                        used.add(int(colors[bj]))
+        c = 0
+        while c in used:
+            c += 1
+        colors[bi] = c
+    return colors
+
+
 def build_schwarz_fast(A_host: HostCSR, idofs, maxlvl=1, mmsize=100,
                        symmetric=True, weight=1.0, dtype=jnp.float32):
     """Vectorized construction of a colored overlapping Schwarz smoother.
@@ -132,22 +186,36 @@ def build_schwarz_fast(A_host: HostCSR, idofs, maxlvl=1, mmsize=100,
     from .schwarz import SchwarzSmoother
     n = A_host.shape[0]
     idofs = np.asarray(idofs, dtype=np.int64)
-    Gk = pattern_power(A_host, maxlvl)
-    seeds = greedy_mis(Gk, idofs)
-    ids = balls_at_seeds(Gk, seeds, mmsize)
-    G2k = Gk.matmat(Gk)
-    colors = color_seed_blocks(G2k, seeds)
+    # HAZmath seeds a block at *every* interface dof; MIS-thinning is our
+    # block-count control for large interface sets. For small ones (e.g.
+    # the 3D-1D curve dofs) thinning loses exactly the blocks that must
+    # capture each dof's stiff coupling footprint — seed them all.
+    if len(idofs) <= 8192:
+        seeds = idofs
+    else:
+        seeds = greedy_mis(pattern_power(A_host, maxlvl), idofs)
+    ids = seed_balls(A_host, seeds, maxlvl, mmsize)
+    colors = _color_by_overlap(ids, n)
 
-    # batched dense extraction + inversion (host, vectorized LAPACK)
+    nb, m = ids.shape
     lens = A_host.row_lengths()
     L = int(lens.max()) if len(lens) else 1
-    cols_np = np.full((n, L), n, dtype=np.int64)
-    vals_np = np.zeros((n, L), dtype=np.float64)
-    slot = np.arange(A_host.nnz) - np.repeat(A_host.indptr[:-1], lens)
-    rows = A_host.rows_expanded()
-    cols_np[rows, slot] = A_host.indices
-    vals_np[rows, slot] = A_host.data
-    dense = _extract_dense_blocks(cols_np, vals_np, ids, n)
+    if nb * m * L * m * 8 <= 2 ** 31:   # einsum memory budget (~2 GB)
+        cols_np = np.full((n, L), n, dtype=np.int64)
+        vals_np = np.zeros((n, L), dtype=np.float64)
+        slot = np.arange(A_host.nnz) - np.repeat(A_host.indptr[:-1], lens)
+        rows = A_host.rows_expanded()
+        cols_np[rows, slot] = A_host.indices
+        vals_np[rows, slot] = A_host.data
+        dense = _extract_dense_blocks(cols_np, vals_np, ids, n)
+    else:                                # big blocks: per-block extraction
+        dense = np.zeros((nb, m, m))
+        eye = np.eye(m)
+        for k in range(nb):
+            blk = ids[k][ids[k] < n]
+            sz = len(blk)
+            dense[k, :sz, :sz] = A_host.extract_submatrix(blk, blk)
+            dense[k, sz:, sz:] = eye[sz:, sz:]
     inv = np.linalg.inv(dense)
 
     dof_ids, inv_blocks = [], []
