@@ -82,9 +82,12 @@ def main():
     # preset (h-robust)
     prm = replace(PRESETS["metric_schwarz"], dtype="float32",
                   cycle_type=CYCLE, coarse_dof=COARSE)
+    storage = {"bf16": jnp.bfloat16, "f32": None}[
+        os.environ.get("TPUAMG_BENCH_STORAGE", "f32")]
     prec, slots, nsl = setup_grid(A, (BENCH_N + 1, BENCH_N + 1), F=2,
                                   params=prm, dtype=jnp.float32,
-                                  cheb_degree=CHEB)
+                                  cheb_degree=CHEB,
+                                  storage_dtype=storage)
     t_setup = time.time() - t0
 
     dtype = jnp.float32

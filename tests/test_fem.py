@@ -103,6 +103,30 @@ def test_poisson_convergence():
     assert 0.9 < rate < 1.2, (e1, e2, rate)
 
 
+def test_p2_bidomain_rate():
+    """P2 elements must show H1 rate ~2 (pdegree parity,
+    bidomain_2d.py:120)."""
+    import numpy as np
+    from tpuamg.problems.bidomain import (Params, get_mesh, get_system,
+                                          compute_errors)
+    from tpuamg.problems.solve import solve_system
+    e0 = h0 = None
+    for n in (8, 16):
+        p = Params(2.0, 3.0, 1e4)
+        data = mms.setup_bidomain_mms(p, dim=2)
+        m = get_mesh(n, 2)
+        A, b, sizes, _ = get_system(m, data, p, pdegree=2)
+        idofs = np.arange(sizes[0], sum(sizes))
+        rep = solve_system(A, b, "metric_mono", sizes, idofs=idofs,
+                           tol=1e-10, maxiter=100)
+        assert rep.converged
+        e1, _ = compute_errors(m, data, rep.x, sizes, pdegree=2)
+        if e0 is not None:
+            rate = np.log(e1 / e0) / np.log(m.hmin() / h0)
+            assert 1.8 < rate < 2.2, rate
+        e0, h0 = e1, m.hmin()
+
+
 def test_mms_bidomain_consistency():
     """f1 must equal -div(kappa1 grad u1) + gamma (u1 - u2) numerically."""
     from collections import namedtuple

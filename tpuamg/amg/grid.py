@@ -185,13 +185,18 @@ def _lmax_blockinv(A: HostCSR, apply_binv, mask, iters=15, seed=0):
 
 def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
                params: AMGParameters = AMGParameters(),
-               dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0):
+               dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
+               storage_dtype=None):
     """Build the grid hierarchy for a field-stacked structured-grid system.
 
     A_host: monolithic operator in *field-major* order ([u1-block; u2-...]);
     dims: grid dims (points per axis, last axis fastest in vertex order);
     F: number of fields. Returns (prec, slots, n) with slots the
-    field-interleave permutation (apply outside the loop)."""
+    field-interleave permutation (apply outside the loop).
+
+    storage_dtype: optional narrower dtype (e.g. jnp.bfloat16) for the
+    DIA planes and block inverses — halves the preconditioner's HBM
+    traffic; arithmetic still runs in `dtype` (XLA promotes)."""
     nv = int(np.prod(dims))
     assert A_host.shape[0] == nv * F
     slots = interleave_fields(nv, F)
@@ -204,6 +209,7 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
 
     levels = []
     dims_cur = tuple(dims)
+    sdtype = storage_dtype or dtype
     while (len(levels) < params.max_levels - 1
            and mask_np.sum() > params.coarse_dof):
         if F > 1:
@@ -214,7 +220,7 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
                                  r.reshape(-1, s)).reshape(-1)
             lmax = _lmax_blockinv(A, apply_binv, mask_np)
             smoother = BlockChebyshevSmoother(
-                jnp.asarray(blockinv, dtype=dtype),
+                jnp.asarray(blockinv, dtype=sdtype),
                 jnp.asarray(mask_np, dtype=dtype),
                 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
         else:
@@ -230,7 +236,7 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
                 jnp.asarray(mask_np, dtype=dtype),
                 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
         levels.append(GridLevel(
-            DIA.from_host(A, dtype=dtype), smoother,
+            DIA.from_host(A, dtype=sdtype), smoother,
             jnp.asarray(mask_np, dtype=dtype), dims_cur, F))
         A, mask_np, dims_cur = _grid_coarse(A, mask_np, dims_cur, F)
 

@@ -78,6 +78,25 @@ def _neumann_rhs(mesh, flux, tags):
     return out
 
 
+def _neumann_rhs_p2(space, flux, tags):
+    """P2 version of _neumann_rhs (per-tag constant normals)."""
+    from ..fem.pk import p2_facet_load
+    mesh = space.mesh
+    out = np.zeros(space.ndofs)
+    dim = mesh.gdim
+    for tag in tags:
+        facets = mesh.facets_with_tag(tag)
+        if len(facets) == 0:
+            continue
+        if dim == 2:
+            out += p2_facet_load(space,
+                                 lambda x, nv=SQUARE_NORMALS[tag]:
+                                 -(flux(x) @ nv), (tag,))
+        else:
+            raise NotImplementedError("P2 Neumann terms: 2D only for now")
+    return out
+
+
 def _facet_integral(mesh, facets, g, degree=4):
     """∫ g v ds over an explicit facet list."""
     from ..fem.quadrature import simplex_rule
@@ -99,38 +118,60 @@ def _facet_integral(mesh, facets, g, degree=4):
     return b
 
 
-def get_system(mesh, data, params: Params):
+def get_system(mesh, data, params: Params, pdegree=1):
     """Assemble the monolithic bidomain system with symmetric Dirichlet
-    elimination.  Returns (A_mono, b_mono, (n1, n2), bc_dofs)."""
+    elimination.  Returns (A_mono, b_mono, (n1, n2), bc_dofs).
+    pdegree: 1 (vertex dofs) or 2 (P2, bidomain_2d.py:120 parity)."""
     k1, k2, g = params.kappa1, params.kappa2, params.gamma
-    n = mesh.num_vertices
 
-    K1 = stiffness_matrix(mesh, k1)
-    K2 = stiffness_matrix(mesh, k2)
-    M = mass_matrix(mesh)
+    if pdegree == 2:
+        from ..fem.pk import (P2Space, p2_stiffness, p2_mass, p2_load,
+                              p2_facet_load)
+        V = P2Space(mesh)
+        n = V.ndofs
+        K1 = p2_stiffness(V, k1)
+        K2 = p2_stiffness(V, k2)
+        M = p2_mass(V)
+        b0 = p2_load(V, data["f1"]) + _neumann_rhs_p2(
+            V, data["flux1"], NEUMANN_TAGS)
+        b1 = p2_load(V, data["f2"]) + _neumann_rhs_p2(
+            V, data["flux2"], NEUMANN_TAGS)
+        bd = V.boundary_dofs(DIRICHLET_TAGS)
+        coords = V.dof_coords()[bd]
+    else:
+        assert pdegree == 1, f"unsupported pdegree {pdegree}"
+        n = mesh.num_vertices
+        K1 = stiffness_matrix(mesh, k1)
+        K2 = stiffness_matrix(mesh, k2)
+        M = mass_matrix(mesh)
+        b0 = load_vector(mesh, data["f1"]) + _neumann_rhs(
+            mesh, data["flux1"], NEUMANN_TAGS)
+        b1 = load_vector(mesh, data["f2"]) + _neumann_rhs(
+            mesh, data["flux2"], NEUMANN_TAGS)
+        bd = mesh.boundary_vertices(DIRICHLET_TAGS)
+        coords = mesh.vertices[bd]
 
     A00 = K1.add(M, beta=g)
     A01 = M.scale(-g)
     A11 = K2.add(M, beta=g)
     A = bmat([[A00, A01], [A01, A11]])
-
-    b0 = load_vector(mesh, data["f1"]) + _neumann_rhs(
-        mesh, data["flux1"], NEUMANN_TAGS)
-    b1 = load_vector(mesh, data["f2"]) + _neumann_rhs(
-        mesh, data["flux2"], NEUMANN_TAGS)
     b = np.concatenate([b0, b1])
 
-    bd = mesh.boundary_vertices(DIRICHLET_TAGS)
     bc_dofs = np.concatenate([bd, n + bd])
-    bc_vals = np.concatenate([data["u1"](mesh.vertices[bd]),
-                              data["u2"](mesh.vertices[bd])])
+    bc_vals = np.concatenate([data["u1"](coords), data["u2"](coords)])
     A, b = apply_bc_monolithic(A, b, bc_dofs, bc_vals)
     return A, b, (n, n), bc_dofs
 
 
-def compute_errors(mesh, data, x, sizes):
+def compute_errors(mesh, data, x, sizes, pdegree=1):
     n1, _ = sizes
     u1h, u2h = x[:n1], x[n1:]
+    if pdegree == 2:
+        from ..fem.pk import P2Space, p2_errornorm
+        V = P2Space(mesh)
+        e1 = p2_errornorm(data["u1"], data["grad_u1"], V, u1h, "H1")
+        e2 = p2_errornorm(data["u2"], data["grad_u2"], V, u2h, "H1")
+        return e1, e2
     e1 = errornorm_p1(data["u1"], data["grad_u1"], mesh, u1h, "H1")
     e2 = errornorm_p1(data["u2"], data["grad_u2"], mesh, u2h, "H1")
     return e1, e2

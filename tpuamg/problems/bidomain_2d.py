@@ -38,7 +38,8 @@ def run(args, dim=2, start_exp=5, name="bidomain_2d"):
 
     for ncells in (2 ** i for i in range(start_exp, start_exp + args.nrefs)):
         mesh = get_mesh(ncells, dim)
-        A, b, sizes, _ = get_system(mesh, data, params)
+        A, b, sizes, _ = get_system(mesh, data, params,
+                                    pdegree=args.pdegree)
         idofs = np.arange(sizes[0], sizes[0] + sizes[1])
 
         blocks = None
@@ -53,7 +54,8 @@ def run(args, dim=2, start_exp=5, name="bidomain_2d"):
             "metric", "metric_mono", "metric_hazmath") else None
 
         grid = None
-        if getattr(args, "backend", "algebraic") == "grid":
+        if getattr(args, "backend", "algebraic") == "grid" \
+                and args.pdegree == 1:   # grid path is P1 (vertex dofs)
             grid = ((ncells + 1,) * dim, 2)
 
         then = time.time()
@@ -63,7 +65,8 @@ def run(args, dim=2, start_exp=5, name="bidomain_2d"):
                            dtype=dtype, grid=grid)
         ksp_dt = time.time() - then
 
-        e1, e2 = compute_errors(mesh, data, rep.x, sizes)
+        e1, e2 = compute_errors(mesh, data, rep.x, sizes,
+                                pdegree=args.pdegree)
         tables.add(sum(sizes), rep.niters, rep.cond, ksp_dt, rep.r_norm,
                    mesh.hmin(), [e1, e2])
         tables.show()
