@@ -22,38 +22,22 @@ class MinresResult:
     residuals: np.ndarray
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
-def _minres_clean(A, M, b, x0, tol, maxiter):
-    dtype = b.dtype
-    n = b.shape[0]
-    r2 = b - A(x0)          # r_{k}
-    r1 = r2                 # r_{k-1}
-    y = M(r2)
-    beta = jnp.sqrt(jnp.maximum(jnp.vdot(r2, y).real, 0))
-    phibar = beta
-    res0 = beta
-    res_hist = jnp.zeros(maxiter + 1, dtype=dtype).at[0].set(beta)
-
-    zeros = jnp.zeros(n, dtype=dtype)
-    state = (jnp.array(0), x0, r1, r2, y, beta, beta,  # k x r1 r2 y beta betaold
-             jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),  # dbar epsln
-             phibar, jnp.asarray(-1.0, dtype), jnp.asarray(0.0, dtype),
-             zeros, zeros, res_hist)
-
-    def cond_fn(s):
-        k = s[0]
-        phibar_ = s[9]
-        beta_ = s[5]
-        return (k < maxiter) & (phibar_ > tol * res0) & (beta_ > 0)
-
-    def body_fn(s):
-        (k, x, r1, r2, y, beta, betaold, dbar, epsln, phibar_, cs, sn,
-         w, w2, res) = s
-        v = y / beta
+@partial(jax.jit, static_argnames=("chunk",))
+def _minres_chunk(A, M, state, chunk):
+    """`chunk` MINRES iterations as one fixed-trip scan (same
+    remote-runtime design as krylov.cg._pcg_scan_chunk: no data-dependent
+    loop conditions, no masking, per-step scalars via scan outputs)."""
+    def body_fn(s, _):
+        (x, r1, r2, y, beta, betaold, dbar, epsln, phibar_, cs, sn,
+         w, w2) = s
+        tiny = jnp.asarray(1e-300 if r2.dtype == jnp.float64 else 1e-30,
+                           r2.dtype)
+        beta_safe = jnp.maximum(beta, tiny)
+        v = y / beta_safe
         yk = A(v)
-        yk = jnp.where(k >= 1, yk - (beta / betaold) * r1, yk)
+        yk = yk - (beta / jnp.maximum(betaold, tiny)) * r1
         alfa = jnp.vdot(v, yk).real
-        yk = yk - (alfa / beta) * r2
+        yk = yk - (alfa / beta_safe) * r2
         r1n, r2n = r2, yk
         yn = M(r2n)
         betaoldn = beta
@@ -64,27 +48,23 @@ def _minres_clean(A, M, b, x0, tol, maxiter):
         gbar = sn * dbar - cs * alfa
         epsln_n = sn * betan
         dbar_n = -cs * betan
-        gamma = jnp.sqrt(gbar ** 2 + betan ** 2)
-        gamma = jnp.maximum(gamma, jnp.asarray(1e-300, dtype))
+        gamma = jnp.maximum(jnp.sqrt(gbar ** 2 + betan ** 2), tiny)
         cs_n = gbar / gamma
         sn_n = betan / gamma
         phi = cs_n * phibar_
         phibar_n = sn_n * phibar_
-        denom = 1.0 / gamma
         w1 = w2
         w2n = w
-        wn = (v - oldeps * w1 - delta * w2n) * denom
+        wn = (v - oldeps * w1 - delta * w2n) / gamma
         xn = x + phi * wn
-        res = res.at[k + 1].set(phibar_n)
-        return (k + 1, xn, r1n, r2n, yn, betan, betaoldn, dbar_n,
-                epsln_n, phibar_n, cs_n, sn_n, wn, w2n, res)
+        ns = (xn, r1n, r2n, yn, betan, betaoldn, dbar_n,
+              epsln_n, phibar_n, cs_n, sn_n, wn, w2n)
+        return ns, phibar_n
 
-    out = jax.lax.while_loop(cond_fn, body_fn, state)
-    k, x = out[0], out[1]
-    return x, k, out[14]
+    return jax.lax.scan(body_fn, state, None, length=chunk)
 
 
-def minres(A, b, M=None, x0=None, tol=1e-8, maxiter=500):
+def minres(A, b, M=None, x0=None, tol=1e-8, maxiter=500, chunk=32):
     Afn = A.matvec if hasattr(A, "matvec") else A
     Mfn = (M.matvec if hasattr(M, "matvec") else M) if M is not None \
         else (lambda r: r)
@@ -95,9 +75,35 @@ def minres(A, b, M=None, x0=None, tol=1e-8, maxiter=500):
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    x, k, res = _minres_clean(Afn, Mfn, b, x0, jnp.asarray(tol, b.dtype),
-                              int(maxiter))
-    k = int(k)
-    res = np.asarray(res)[:k + 1]
-    converged = bool(k < maxiter)
-    return MinresResult(x=x, niters=k, converged=converged, residuals=res)
+    dtype = b.dtype
+    maxiter = int(maxiter)
+    chunk = max(1, min(int(chunk), maxiter))
+
+    r2 = b - Afn(x0)
+    # NOTE: the first Lanczos step has no r1 correction; start r1 = 0 so
+    # the unconditional (beta/betaold) * r1 term vanishes at k=0.
+    r1 = jnp.zeros_like(r2)
+    y = Mfn(r2)
+    beta = jnp.sqrt(jnp.maximum(jnp.vdot(r2, y).real, 0))
+    res0 = float(beta)
+    zero = jnp.asarray(0.0, dtype)
+    state = (x0, r1, r2, y, beta, jnp.asarray(1.0, dtype), zero, zero,
+             beta, jnp.asarray(-1.0, dtype), zero,
+             jnp.zeros_like(b), jnp.zeros_like(b))
+    res_hist = [res0]
+    k = 0
+    converged = res0 == 0.0
+    while not converged and k < maxiter:
+        state, phis = _minres_chunk(Afn, Mfn, state, chunk)
+        ph = np.asarray(phis)
+        hit = np.flatnonzero((ph <= tol * res0) | ~np.isfinite(ph))
+        take = int(hit[0]) + 1 if len(hit) else chunk
+        take = min(take, maxiter - k)
+        res_hist.extend(ph[:take].tolist())
+        k += take
+        converged = len(hit) > 0 and np.isfinite(ph[hit[0]]) \
+            and ph[hit[0]] <= tol * res0
+        if len(hit) and not converged:
+            break
+    return MinresResult(x=state[0], niters=k, converged=bool(converged),
+                        residuals=np.asarray(res_hist))
