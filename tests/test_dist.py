@@ -50,6 +50,37 @@ def test_distributed_pcg_step_runs(system):
         np.linalg.norm(b)
 
 
+def test_distributed_grid_hierarchy():
+    """The structured (DIA/grid) hierarchy shards over the device mesh and
+    solves SPMD with XLA-inserted collectives."""
+    from tpuamg.problems.bidomain import Params, get_mesh, get_system
+    from tpuamg.amg.grid import setup_grid, grid_system
+    from tpuamg.amg import as_operator
+    from tpuamg.dist import device_mesh, shard_preconditioner, shard_vector
+    from tpuamg.dist.sharding import shard_dia
+    from tpuamg.sparse.dia import dia_matvec_op
+    from tpuamg.krylov import pcg
+    from tpuamg.config import AMGParameters
+
+    p = Params(2.0, 3.0, 1e6)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    mesh2d = get_mesh(16, 2)
+    A, b, sizes, _ = get_system(mesh2d, data, p)
+    prm = AMGParameters(cycle_type="v", dtype="float64")
+    prec, slots, nsl = setup_grid(A, (17, 17), F=2, params=prm,
+                                  dtype=jnp.float64)
+    dmesh = device_mesh()
+    prec_s = shard_preconditioner(prec, dmesh, replicate_below=64)
+    Adia = shard_dia(grid_system(A, slots, dtype=jnp.float64), dmesh)
+    bs = jnp.zeros(nsl).at[jnp.asarray(slots)].set(jnp.asarray(b))
+    res = pcg(dia_matvec_op(Adia), bs, M=as_operator(prec_s),
+              tol=1e-8, maxiter=60)
+    assert res.converged and res.niters < 30
+    x = np.asarray(res.x)[slots]
+    rel = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert rel < 1e-6
+
+
 def test_distributed_metric_bidomain():
     from tpuamg.problems.bidomain import Params, get_mesh, get_system
     p = Params(2.0, 3.0, 1e6)

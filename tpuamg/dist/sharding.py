@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..sparse import ELL
+from ..sparse.dia import DIA
 from ..amg.hierarchy import MGLevel, MGPreconditioner
+from ..amg.structured import BlockChebyshevSmoother, StructuredLevel
+from ..amg.grid import GridLevel, ChebyshevDiagSmoother
 from ..smoothers import (JacobiSmoother, L1JacobiSmoother,
                          ChebyshevSmoother, MulticolorGS, SchwarzSmoother,
                          MetricSmoother)
@@ -37,6 +40,17 @@ def device_mesh(n_devices=None, devices=None):
 
 def _put(x, mesh, spec):
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _put_best(x, mesh, spec):
+    """device_put with `spec` if every sharded dim divides by the mesh,
+    else replicate. (Grid-path arrays have (n+1)-derived sizes that rarely
+    divide; padding the grid itself to mesh-divisible dims is the planned
+    fix — see docs/ARCHITECTURE.md aux notes.)"""
+    ndev = mesh.devices.size
+    ok = all(x.shape[i] % ndev == 0
+             for i, ax in enumerate(spec) if ax is not None)
+    return _put(x, mesh, spec if ok else P())
 
 
 def replicate(x, mesh):
@@ -115,12 +129,47 @@ def _shard_smoother(sm, mesh, row_sharded, nrows=0):
     return sm
 
 
+def shard_dia(A: DIA, mesh, row_sharded=True) -> DIA:
+    """Shard a DIA operator: diagonal-value planes split along rows."""
+    spec = P(None, "p") if row_sharded else P()
+    return DIA(A.offsets, _put_best(A.data, mesh, spec), A.shape, A.nnz)
+
+
+def _shard_grid_level(L, mesh, row_sharded):
+    """Shard GridLevel/StructuredLevel state. Row-dim shardings may be
+    repartitioned by XLA around the reshape transfers (non-divisible grid
+    dims); semantics are unchanged."""
+    spec_v = P("p") if row_sharded else P()
+    A = shard_dia(L.A, mesh, row_sharded)
+    mask = _put_best(L.mask, mesh, spec_v)
+    sm = L.smoother
+    if isinstance(sm, BlockChebyshevSmoother):
+        sm = BlockChebyshevSmoother(
+            _put_best(sm.blockinv, mesh,
+                      P("p", None, None) if row_sharded else P()),
+            _put_best(sm.mask, mesh, spec_v), sm.lmax, sm.lmin, sm.degree)
+    elif isinstance(sm, ChebyshevDiagSmoother):
+        sm = ChebyshevDiagSmoother(
+            _put_best(sm.invd, mesh, spec_v),
+            _put_best(sm.mask, mesh, spec_v),
+            sm.lmax, sm.lmin, sm.degree)
+    if isinstance(L, GridLevel):
+        return GridLevel(A, sm, mask, L.dims, L.F)
+    return StructuredLevel(A, sm, mask, L.s, L.n_groups, L.nc)
+
+
 def shard_preconditioner(prec: MGPreconditioner, mesh,
                          replicate_below=4096) -> MGPreconditioner:
     """Row-shard fine levels; replicate levels below the size threshold
-    (and the coarse dense inverse)."""
+    (and the coarse dense inverse). Handles the algebraic (ELL/MGLevel)
+    hierarchy and the structured DIA hierarchies (GridLevel /
+    StructuredLevel)."""
     levels = []
     for L in prec.levels:
+        if isinstance(L, (GridLevel, StructuredLevel)):
+            levels.append(_shard_grid_level(
+                L, mesh, L.A.shape[0] >= replicate_below))
+            continue
         row_sharded = L.A.shape[0] >= replicate_below
         spec_m = P("p", None) if row_sharded else P()
         spec_v = P("p") if row_sharded else P()

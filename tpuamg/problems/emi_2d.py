@@ -49,10 +49,18 @@ def run(args, dim=2, start_exp=6, name="emi_2d"):
             from ..sparse.host import extract_diag_blocks
             blocks = extract_diag_blocks(A, sizes)
 
+        coords = None
+        if getattr(args, "backend", "algebraic") == "grid":
+            # split meshes aren't one grid; use the general gather-free
+            # pair+Morton structured path keyed on dof coordinates
+            coords = np.concatenate([mesh1.vertices, mesh2.vertices],
+                                    axis=0)
+
         then = time.time()
         rep = solve_system(A, b, args.precond, sizes,
                            idofs=interface_dofs, blocks=blocks,
-                           tol=1e-10, maxiter=500, dtype=dtype)
+                           tol=1e-10, maxiter=500, dtype=dtype,
+                           structured_coords=coords)
         ksp_dt = time.time() - then
 
         e1, e2 = compute_errors(mesh1, mesh2, data, rep.x, sizes)

@@ -110,12 +110,32 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  params: AMGParameters = None, blocks=None,
                  tol=1e-8, maxiter=500, method="cg",
                  dtype=jnp.float64, callback=None,
-                 grid=None) -> SolveReport:
+                 grid=None, structured_coords=None) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
-    problems; None = the general algebraic ELL path."""
+    problems.  structured_coords: optional (n, d) dof coordinates — use the
+    general gather-free pair+Morton hierarchy (tpuamg.amg.structured),
+    the TPU path for non-grid topologies (split meshes, interfaces).
+    Default: the general algebraic ELL path."""
     slots = None
-    if grid is not None and precond not in ("diag",):
+    if structured_coords is not None and grid is None \
+            and precond not in ("diag",):
+        from dataclasses import replace
+        from ..amg.structured import setup_structured, structured_system
+        from ..sparse.dia import dia_matvec_op
+        prm = params or PRESETS["metric_schwarz"]
+        wanted = np.dtype(dtype).name
+        if prm.dtype != wanted:
+            prm = replace(prm, dtype=wanted)
+        t0 = time.time()
+        prec, slots, nsl = setup_structured(A, structured_coords, prm,
+                                            dtype=dtype)
+        t_setup = time.time() - t0
+        Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype))
+        bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
+            jnp.asarray(b, dtype=dtype))
+        M = as_operator(prec)
+    elif grid is not None and precond not in ("diag",):
         from dataclasses import replace
         from ..amg.grid import setup_grid, grid_system
         from ..sparse.dia import dia_matvec_op
