@@ -125,3 +125,16 @@ def test_cg_lanczos_cond_estimate():
     est = res.eigenvalue_estimates()
     assert abs(est.max() - 50.0) / 50.0 < 0.05
     assert abs(est.min() - 1.0) < 0.2
+
+
+def test_minres_eigenvalue_estimates(poisson):
+    """MINRES Lanczos cond estimate agrees with CG's on an SPD system."""
+    A, b = poisson
+    Ae = ELL.from_host(A, dtype=jnp.float64)
+    r_mr = minres(matvec_op(Ae), b, tol=1e-10, maxiter=400)
+    r_cg = pcg(matvec_op(Ae), b, tol=1e-10, maxiter=400)
+    assert r_mr.converged
+    ev = r_mr.eigenvalue_estimates()
+    assert (ev > 0).all()
+    # both tridiagonals estimate cond(A); agree within a modest factor
+    assert 0.5 < r_mr.cond / r_cg.cond < 2.0, (r_mr.cond, r_cg.cond)

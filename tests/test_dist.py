@@ -93,3 +93,58 @@ def test_distributed_metric_bidomain():
     res, _ = distributed_solve(A, b, params=params, idofs=idofs,
                                tol=1e-8, maxiter=100, dtype=jnp.float64)
     assert res.converged and res.niters < 40
+
+
+def test_distributed_grid_solve_pads_and_shards():
+    """Grid-dim padding to mesh divisibility: fine levels must be truly
+    row-sharded (not replicated fallbacks), and the padded solve must
+    match the serial grid-path solution."""
+    from jax.sharding import PartitionSpec as P
+    from tpuamg.problems.bidomain import Params, get_mesh, get_system
+    from tpuamg.dist.solve import (pad_grid_problem, distributed_grid_solve,
+                                   unpad_grid_vector)
+    from tpuamg.dist.sharding import shard_preconditioner, device_mesh
+    from tpuamg.amg.grid import setup_grid
+
+    p = Params(2.0, 3.0, 1e4)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    mesh2d = get_mesh(16, 2)     # dims (17, 17): NOT divisible by 8
+    A, b, sizes, _ = get_system(mesh2d, data, p)
+    dmesh = device_mesh()
+    ndev = dmesh.devices.size
+    shard_depth = 1
+    A2, b2, dims2, mask2 = pad_grid_problem(A, b, (17, 17), 2,
+                                            ndev * 2 ** shard_depth)
+    assert dims2[0] % (ndev * 2 ** shard_depth) == 0
+    # padded system keeps the original equations intact
+    nv, nv2 = 17 * 17, dims2[0] * 17
+    x_probe = np.random.default_rng(0).standard_normal(A.shape[0])
+    x2_probe = np.zeros(A2.shape[0])
+    for f in range(2):
+        x2_probe[f * nv2:f * nv2 + nv] = x_probe[f * nv:(f + 1) * nv]
+    y2 = A2.matvec(x2_probe)
+    np.testing.assert_allclose(unpad_grid_vector(y2, (17, 17), dims2, 2),
+                               A.matvec(x_probe), rtol=1e-12, atol=1e-12)
+
+    prm = AMGParameters(cycle_type="v", dtype="float64")
+    n_sd = int(np.prod([-(-d // 2 ** shard_depth) for d in dims2])) * 2
+    prec, slots, nsl = setup_grid(A2, dims2, F=2, mask=mask2, params=prm,
+                                  dtype=jnp.float64, pallas=False)
+    prec_s = shard_preconditioner(prec, dmesh, replicate_below=n_sd)
+    # the divisible fine level must be genuinely row-sharded
+    fine = prec_s.levels[0]
+    specs = {tuple(s.spec) for s in
+             [fine.A.data.sharding, fine.mask.sharding]}
+    assert (None, "p") in specs or ("p",) in specs, specs
+
+    res, _ = distributed_grid_solve(A, b, (17, 17), F=2, mesh=dmesh,
+                                    params=prm, tol=1e-8, maxiter=60,
+                                    dtype=jnp.float64,
+                                    shard_depth=shard_depth)
+    assert res.converged and res.niters < 30
+    from tpuamg.problems.solve import solve_system
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm, tol=1e-8,
+                       maxiter=60, grid=((17, 17), 2), pallas=False)
+    rel = np.linalg.norm(b - A.matvec(res.x)) / np.linalg.norm(b)
+    assert rel < 1e-6
+    np.testing.assert_allclose(res.x, rep.x, atol=1e-5)

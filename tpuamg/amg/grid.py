@@ -33,7 +33,7 @@ from ..sparse import HostCSR
 from ..sparse.dia import DIA
 from ..config import AMGParameters
 from .hierarchy import MGPreconditioner
-from .structured import BlockChebyshevSmoother
+from .structured import BlockChebyshevSmoother, DiaChebyshevSmoother
 
 
 @jax.tree_util.register_pytree_node_class
@@ -183,10 +183,24 @@ def _lmax_blockinv(A: HostCSR, apply_binv, mask, iters=15, seed=0):
     return float(lam)
 
 
+def resolve_pallas(pallas):
+    """Resolve a pallas= flag to (use_pallas, interpret).
+
+    None = auto: fused Pallas kernels on TPU, XLA slice loop elsewhere.
+    True/False force; "interpret" runs the kernels in interpret mode
+    (CPU tests of the exact TPU code path)."""
+    from ..sparse.dia_pallas import pallas_available, default_backend_is_tpu
+    if pallas == "interpret":
+        return True, True
+    if pallas is None:
+        return pallas_available() and default_backend_is_tpu(), False
+    return bool(pallas), False
+
+
 def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
                params: AMGParameters = AMGParameters(),
                dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
-               storage_dtype=None):
+               storage_dtype=None, pallas=None):
     """Build the grid hierarchy for a field-stacked structured-grid system.
 
     A_host: monolithic operator in *field-major* order ([u1-block; u2-...]);
@@ -196,7 +210,13 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
 
     storage_dtype: optional narrower dtype (e.g. jnp.bfloat16) for the
     DIA planes and block inverses — halves the preconditioner's HBM
-    traffic; arithmetic still runs in `dtype` (XLA promotes)."""
+    traffic; arithmetic still runs in `dtype` (XLA promotes).
+
+    pallas: None (auto) / True / False / "interpret" — use the fused
+    multi-diagonal Pallas kernels (sparse.dia_pallas) for every operator
+    and block-inverse apply; cuts the per-op dispatch count of a V-cycle
+    by ~an order of magnitude (docs/PERF_NOTES.md)."""
+    use_pallas, interpret = resolve_pallas(pallas)
     nv = int(np.prod(dims))
     assert A_host.shape[0] == nv * F
     slots = interleave_fields(nv, F)
@@ -219,24 +239,50 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
                 return np.einsum("bij,bj->bi", bi,
                                  r.reshape(-1, s)).reshape(-1)
             lmax = _lmax_blockinv(A, apply_binv, mask_np)
+        else:
+            dg = A.diagonal().copy()
+            dg[dg == 0] = 1.0
+            blockinv = (1.0 / dg).reshape(-1, 1, 1)
+
+            def apply_binv(r, iv=1.0 / dg):
+                return iv * r
+            lmax = _lmax_blockinv(A, apply_binv, mask_np)
+        if use_pallas:
+            from ..sparse.dia_pallas import (
+                PDIA, blockinv_dia, FusedChebSmoother,
+                fused_cheb_vmem_bytes, FUSED_VMEM_BUDGET)
+            coffs, cdata = blockinv_dia(blockinv, mask_np)
+            A_dia = DIA.from_host(A, dtype=sdtype)
+            C_dia = DIA(coffs, jnp.asarray(cdata, dtype=sdtype),
+                        (A.shape[0], A.shape[0]))
+            item = jnp.dtype(sdtype).itemsize
+            if fused_cheb_vmem_bytes(
+                    A.shape[0], len(A_dia.offsets), len(coffs),
+                    tuple(A_dia.offsets) + tuple(coffs), item, item
+                    ) < FUSED_VMEM_BUDGET:
+                # whole degree-k smoother sweep = ONE kernel launch
+                smoother = FusedChebSmoother.build(
+                    A_dia, C_dia, 1.1 * lmax, 1.1 * lmax / cheb_ratio,
+                    cheb_degree, interpret=interpret)
+            else:   # too big for VMEM-resident vectors: launch-per-op
+                C = PDIA.from_dia(C_dia, interpret=interpret)
+                smoother = DiaChebyshevSmoother(
+                    C, 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+            Adev = PDIA.from_dia(A_dia, interpret=interpret)
+        elif F > 1:
             smoother = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=sdtype),
                 jnp.asarray(mask_np, dtype=dtype),
                 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+            Adev = DIA.from_host(A, dtype=sdtype)
         else:
-            dg = A.diagonal().copy()
-            dg[dg == 0] = 1.0
-            invd = 1.0 / dg
-
-            def apply_binv(r, iv=invd):
-                return iv * r
-            lmax = _lmax_blockinv(A, apply_binv, mask_np)
             smoother = ChebyshevDiagSmoother(
-                jnp.asarray(invd, dtype=dtype),
+                jnp.asarray(blockinv.reshape(-1), dtype=dtype),
                 jnp.asarray(mask_np, dtype=dtype),
                 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+            Adev = DIA.from_host(A, dtype=sdtype)
         levels.append(GridLevel(
-            DIA.from_host(A, dtype=sdtype), smoother,
+            Adev, smoother,
             jnp.asarray(mask_np, dtype=dtype), dims_cur, F))
         A, mask_np, dims_cur = _grid_coarse(A, mask_np, dims_cur, F)
 
@@ -250,7 +296,12 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
     return prec, slots, nv * F
 
 
-def grid_system(A_host: HostCSR, slots, dtype=jnp.float32) -> DIA:
-    """Outer operator in interleaved order."""
+def grid_system(A_host: HostCSR, slots, dtype=jnp.float32, pallas=None):
+    """Outer operator in interleaved order (DIA, or PDIA on TPU)."""
     n = A_host.shape[0]
-    return DIA.from_host(_permute(A_host, slots, n), dtype=dtype)
+    D = DIA.from_host(_permute(A_host, slots, n), dtype=dtype)
+    use_pallas, interpret = resolve_pallas(pallas)
+    if use_pallas:
+        from ..sparse.dia_pallas import PDIA
+        return PDIA.from_dia(D, interpret=interpret)
+    return D

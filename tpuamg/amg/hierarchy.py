@@ -103,7 +103,7 @@ class MGPreconditioner:
             return self._coarse_solve(b)
         L = self.levels[lvl]
         x = L.smoother.smooth(L.A, x, b, self.presmooth)
-        r = b - L.A.matvec(x)
+        r = L.A.residual(x, b)   # fused launch on the PDIA path
         # NOTE: post-smoothing below passes reverse=True so nonsymmetric
         # smoothers (forward GS) apply their transpose — keeping the whole
         # cycle a symmetric operator, which CG requires.
@@ -129,7 +129,7 @@ class MGPreconditioner:
             return self._coarse_solve(b)
         A = self.levels[lvl].A if lvl < len(self.levels) else None
         for _ in range(self.amli_degree):
-            r = b - A.matvec(x)
+            r = A.residual(x, b)
             z = self._cycle(lvl, r, jnp.zeros_like(r))
             Az = A.matvec(z)
             denom = jnp.vdot(z, Az).real

@@ -85,16 +85,44 @@ class BlockChebyshevSmoother:
         sigma1 = theta / delta
         for _ in range(iters):
             rho = 1.0 / sigma1
-            r = self._binv(b - A.matvec(x))
+            # A.residual is one fused Pallas launch on the PDIA path
+            r = self._binv(A.residual(x, b))
             d = r / theta
             for _k in range(1, self.degree):
                 x = x + d
-                r = self._binv(b - A.matvec(x))
+                r = self._binv(A.residual(x, b))
                 rho_new = 1.0 / (2.0 * sigma1 - rho)
                 d = rho_new * rho * d + (2.0 * rho_new / delta) * r
                 rho = rho_new
             x = x + d
         return x
+
+
+@jax.tree_util.register_pytree_node_class
+class DiaChebyshevSmoother:
+    """Chebyshev on C*A where C (the masked block-inverse B^{-1}) is itself
+    a (2F-1)-diagonal operator (sparse.dia_pallas.blockinv_dia) — on the
+    Pallas path each Chebyshev step is exactly TWO fused kernel launches
+    (residual + C apply) instead of ~3*ndiags + F^2 XLA ops."""
+
+    def __init__(self, C, lmax, lmin, degree=3):
+        self.C = C                  # DIA or PDIA, mask rows folded in
+        self.lmax = lmax
+        self.lmin = lmin
+        self.degree = degree
+
+    def tree_flatten(self):
+        return ((self.C,), (self.lmax, self.lmin, self.degree))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        (C,) = ch
+        return cls(C, *aux)
+
+    def _binv(self, r):
+        return self.C.matvec(r)
+
+    smooth = BlockChebyshevSmoother.smooth
 
 
 @jax.tree_util.register_pytree_node_class
@@ -264,7 +292,7 @@ def _estimate_lmax(A: HostCSR, blockinv, mask, s, iters=15, seed=0):
 def setup_structured(A_host: HostCSR, coords,
                      params: AMGParameters = AMGParameters(),
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
-                     pairs=None):
+                     pairs=None, pallas=None):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -308,6 +336,8 @@ def setup_structured(A_host: HostCSR, coords,
         np.concatenate([slots0[c], ghost]),
         np.concatenate([v, np.ones(len(ghost))]), (nsl, nsl))
 
+    from ..amg.grid import resolve_pallas
+    use_pallas, interpret = resolve_pallas(pallas)
     levels = []
     s = 2
     while (len(levels) < params.max_levels - 1
@@ -316,12 +346,35 @@ def setup_structured(A_host: HostCSR, coords,
         ng = A.shape[0] // s
         blockinv = _slot_blocks(A, s)
         lmax = _estimate_lmax(A, blockinv, mask, s)
-        smoother = BlockChebyshevSmoother(
-            jnp.asarray(blockinv, dtype=dtype),
-            jnp.asarray(mask, dtype=dtype),
-            1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+        if use_pallas:
+            from ..sparse.dia_pallas import (
+                PDIA, blockinv_dia, FusedChebSmoother,
+                fused_cheb_vmem_bytes, FUSED_VMEM_BUDGET)
+            coffs, cdata = blockinv_dia(blockinv, mask)
+            A_dia = DIA.from_host(A, dtype=dtype)
+            C_dia = DIA(coffs, jnp.asarray(cdata, dtype=dtype),
+                        (A.shape[0], A.shape[0]))
+            item = jnp.dtype(dtype).itemsize
+            if fused_cheb_vmem_bytes(
+                    A.shape[0], len(A_dia.offsets), len(coffs),
+                    tuple(A_dia.offsets) + tuple(coffs), item, item
+                    ) < FUSED_VMEM_BUDGET:
+                smoother = FusedChebSmoother.build(
+                    A_dia, C_dia, 1.1 * lmax, 1.1 * lmax / cheb_ratio,
+                    cheb_degree, interpret=interpret)
+            else:
+                C = PDIA.from_dia(C_dia, interpret=interpret)
+                smoother = DiaChebyshevSmoother(
+                    C, 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+            Adev = PDIA.from_dia(A_dia, interpret=interpret)
+        else:
+            smoother = BlockChebyshevSmoother(
+                jnp.asarray(blockinv, dtype=dtype),
+                jnp.asarray(mask, dtype=dtype),
+                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+            Adev = DIA.from_host(A, dtype=dtype)
         levels.append(StructuredLevel(
-            DIA.from_host(A, dtype=dtype), smoother,
+            Adev, smoother,
             jnp.asarray(mask, dtype=dtype), s, ng))
         A, mask = _window_coarse(A, mask, s)
         s = 4
@@ -342,7 +395,8 @@ def setup_structured(A_host: HostCSR, coords,
     return prec, slots0, n_slots0
 
 
-def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32):
+def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32,
+                      pallas=None):
     """Permute the outer operator into slot space (identity ghosts)."""
     r, c, v = A_host.to_coo()
     mask = np.zeros(n_slots)
@@ -352,4 +406,10 @@ def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32):
         np.concatenate([slots[r], ghost]),
         np.concatenate([slots[c], ghost]),
         np.concatenate([v, np.ones(len(ghost))]), (n_slots, n_slots))
-    return DIA.from_host(A_slots, dtype=dtype)
+    D = DIA.from_host(A_slots, dtype=dtype)
+    from ..amg.grid import resolve_pallas
+    use_pallas, interpret = resolve_pallas(pallas)
+    if use_pallas:
+        from ..sparse.dia_pallas import PDIA
+        return PDIA.from_dia(D, interpret=interpret)
+    return D

@@ -97,3 +97,101 @@ def distributed_pcg_step(A_host: HostCSR, b, params: AMGParameters = None,
     z0 = Mfn(r0)
     rz0 = jnp.vdot(r0, z0).real
     return step, (x0, r0, z0, z0, rz0)
+
+
+# ---------------------------------------------------------------------------
+# Distributed grid path (DIA + reshape transfers, the TPU flagship) — pads
+# the slowest grid axis to ndev * 2**shard_depth ghost vertices so levels
+# 0..shard_depth divide the mesh exactly and _put_best shards them for
+# real (round-1 backlog: "grid-dim padding to device-mesh divisibility").
+# Because dof order is axis-0-major, a row shard is a contiguous slab of
+# grid rows: the 2x window restriction/prolongation reshapes stay entirely
+# shard-local (device boundaries fall on even axis-0 offsets).
+# ---------------------------------------------------------------------------
+
+def pad_grid_problem(A_host: HostCSR, b, dims, F, mult):
+    """Append ghost vertices along grid axis 0 up to a multiple of `mult`.
+
+    A_host/b are field-major ([u1-block; u2-block]); vertex lex order is
+    axis-0-major, so new vertices append at the END of each field block —
+    original entries keep their (field, vertex) indices.  Ghost rows are
+    identity with mask 0 (excluded from smoothing and coarse sums).
+    Returns (A2, b2, dims2, mask2)."""
+    d0p = -(-dims[0] // mult) * mult
+    nv = int(np.prod(dims))
+    if d0p == dims[0]:
+        return A_host, np.asarray(b, dtype=np.float64), tuple(dims), \
+            np.ones(nv * F)
+    dims2 = (d0p,) + tuple(dims[1:])
+    nv2 = int(np.prod(dims2))
+    r, c, v = A_host.to_coo()
+    f_r, v_r = r // nv, r % nv
+    f_c, v_c = c // nv, c % nv
+    r2 = f_r * nv2 + v_r
+    c2 = f_c * nv2 + v_c
+    mask2 = np.zeros(nv2 * F)
+    for f in range(F):
+        mask2[f * nv2:f * nv2 + nv] = 1.0
+    ghosts = np.flatnonzero(mask2 == 0)
+    A2 = HostCSR.from_coo(
+        np.concatenate([r2, ghosts]), np.concatenate([c2, ghosts]),
+        np.concatenate([v, np.ones(len(ghosts))]), (nv2 * F, nv2 * F))
+    b2 = np.zeros(nv2 * F)
+    bb = np.asarray(b, dtype=np.float64)
+    for f in range(F):
+        b2[f * nv2:f * nv2 + nv] = bb[f * nv:(f + 1) * nv]
+    return A2, b2, dims2, mask2
+
+
+def unpad_grid_vector(x2, dims, dims2, F):
+    """Inverse of pad_grid_problem's vector embedding."""
+    nv = int(np.prod(dims))
+    nv2 = int(np.prod(dims2))
+    if nv == nv2:
+        return np.asarray(x2)
+    x = np.empty(nv * F)
+    x2 = np.asarray(x2)
+    for f in range(F):
+        x[f * nv:(f + 1) * nv] = x2[f * nv2:f * nv2 + nv]
+    return x
+
+
+def distributed_grid_solve(A_host: HostCSR, b, dims, F=1,
+                           params: AMGParameters = None, mesh=None,
+                           tol=1e-8, maxiter=500, dtype=jnp.float32,
+                           shard_depth=3, cheb_degree=3):
+    """Row-sharded grid-hierarchy PCG over the device mesh.
+
+    Levels 0..shard_depth are sharded (operators, masks, block inverses,
+    iterates all P("p") on rows); deeper levels replicate.  Collectives
+    (halo all-gathers for the DIA shifts, psums for dots) are inserted by
+    GSPMD from the shardings."""
+    from ..amg.grid import setup_grid, grid_system
+    from ..sparse.dia import dia_matvec_op
+    from .sharding import shard_preconditioner, _put
+    from jax.sharding import PartitionSpec as P
+    if mesh is None:
+        mesh = device_mesh()
+    ndev = mesh.devices.size
+    if params is None:
+        params = AMGParameters(cycle_type="v",
+                               dtype=np.dtype(dtype).name)
+    A2, b2, dims2, mask2 = pad_grid_problem(A_host, b, dims, F,
+                                            ndev * 2 ** shard_depth)
+    # replicate levels deeper than shard_depth
+    n_sd = int(np.prod([-(-d // 2 ** shard_depth) for d in dims2])) * F
+    prec, slots, nsl = setup_grid(A2, dims2, F=F, mask=mask2,
+                                  params=params, dtype=dtype,
+                                  cheb_degree=cheb_degree, pallas=False)
+    prec = shard_preconditioner(prec, mesh, replicate_below=n_sd)
+    Adia = grid_system(A2, slots, dtype=dtype, pallas=False)
+    from .sharding import shard_dia
+    Adia = shard_dia(Adia, mesh)
+    bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
+        jnp.asarray(b2, dtype=dtype))
+    bj = _put(bj, mesh, P("p"))
+    res = pcg(dia_matvec_op(Adia), bj, M=as_operator(prec), tol=tol,
+              maxiter=maxiter)
+    x2 = np.asarray(res.x)[np.asarray(slots)]
+    res.x = unpad_grid_vector(x2, dims, dims2, F)
+    return res, mesh

@@ -37,16 +37,20 @@ def _gmres_cycle(A, M, b, x0, restart):
     V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
 
     def arnoldi_step(j, carry):
+        # TPU-idiomatic orthogonalization: masked classical Gram-Schmidt
+        # with reorthogonalization (CGS2) — two (m+1, n) @ (n,) matmuls on
+        # the MXU instead of a sequential per-vector MGS loop (in-loop
+        # dynamic indexing is pathological on TPU; docs/PERF_NOTES.md).
+        # CGS2 is as stable as MGS in practice.
         V, H = carry
         w = M(A(V[j]))
-
-        def mgs(i, wh):
-            w, H = wh
-            hij = jnp.vdot(V[i], w)
-            return (w - hij * V[i], H.at[i, j].set(hij.real))
-
-        w, H = jax.lax.fori_loop(0, j + 1, mgs, (w, H))
+        mask = (jnp.arange(m + 1) <= j).astype(dtype)
+        h1 = (V @ w) * mask
+        w = w - V.T @ h1
+        h2 = (V @ w) * mask
+        w = w - V.T @ h2
         hnorm = jnp.linalg.norm(w)
+        H = H.at[:, j].set(h1 + h2)
         H = H.at[j + 1, j].set(hnorm)
         V = V.at[j + 1].set(w / jnp.where(hnorm > 0, hnorm, 1.0))
         return (V, H)

@@ -20,6 +20,26 @@ class MinresResult:
     niters: int
     converged: bool
     residuals: np.ndarray
+    alphas: np.ndarray = None    # Lanczos diagonal (preconditioned op)
+    betas: np.ndarray = None     # Lanczos off-diagonal beta_{k+1}
+
+    def eigenvalue_estimates(self):
+        """Eigenvalue estimates of M*A from the MINRES Lanczos tridiagonal
+        (same diagnostics contract as CGResult — the reference only
+        exposes this through CG, /root/reference/src/bidomain_2d.py:215;
+        here MINRES reports it too since the alfa/beta recurrence is free)."""
+        if self.alphas is None or len(self.alphas) == 0:
+            return np.array([1.0])
+        a = np.asarray(self.alphas, dtype=np.float64)
+        b = np.asarray(self.betas, dtype=np.float64)[:len(a) - 1]
+        return np.linalg.eigvalsh(
+            np.diag(a) + np.diag(b, 1) + np.diag(b, -1))
+
+    @property
+    def cond(self):
+        ev = np.abs(self.eigenvalue_estimates())
+        lo = ev.min()
+        return float(ev.max() / lo) if lo > 0 else float("inf")
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -59,7 +79,7 @@ def _minres_chunk(A, M, state, chunk):
         xn = x + phi * wn
         ns = (xn, r1n, r2n, yn, betan, betaoldn, dbar_n,
               epsln_n, phibar_n, cs_n, sn_n, wn, w2n)
-        return ns, phibar_n
+        return ns, jnp.stack([phibar_n, alfa, betan])
 
     return jax.lax.scan(body_fn, state, None, length=chunk)
 
@@ -91,19 +111,25 @@ def minres(A, b, M=None, x0=None, tol=1e-8, maxiter=500, chunk=32):
              beta, jnp.asarray(-1.0, dtype), zero,
              jnp.zeros_like(b), jnp.zeros_like(b))
     res_hist = [res0]
+    alphas, betas = [], []
     k = 0
     converged = res0 == 0.0
     while not converged and k < maxiter:
-        state, phis = _minres_chunk(Afn, Mfn, state, chunk)
-        ph = np.asarray(phis)
+        state, outs = _minres_chunk(Afn, Mfn, state, chunk)
+        o = np.asarray(outs)          # (chunk, 3): phibar alfa betan
+        ph = o[:, 0]
         hit = np.flatnonzero((ph <= tol * res0) | ~np.isfinite(ph))
         take = int(hit[0]) + 1 if len(hit) else chunk
         take = min(take, maxiter - k)
         res_hist.extend(ph[:take].tolist())
+        alphas.extend(o[:take, 1].tolist())
+        betas.extend(o[:take, 2].tolist())
         k += take
         converged = len(hit) > 0 and np.isfinite(ph[hit[0]]) \
             and ph[hit[0]] <= tol * res0
         if len(hit) and not converged:
             break
     return MinresResult(x=state[0], niters=k, converged=bool(converged),
-                        residuals=np.asarray(res_hist))
+                        residuals=np.asarray(res_hist),
+                        alphas=np.asarray(alphas),
+                        betas=np.asarray(betas))

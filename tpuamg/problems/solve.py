@@ -110,13 +110,24 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  params: AMGParameters = None, blocks=None,
                  tol=1e-8, maxiter=500, method="cg",
                  dtype=jnp.float64, callback=None,
-                 grid=None, structured_coords=None) -> SolveReport:
+                 grid=None, structured_coords=None,
+                 pallas=None, refine=0, inner_tol=1e-6) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
     problems.  structured_coords: optional (n, d) dof coordinates — use the
     general gather-free pair+Morton hierarchy (tpuamg.amg.structured),
     the TPU path for non-grid topologies (split meshes, interfaces).
-    Default: the general algebraic ELL path."""
+    Default: the general algebraic ELL path.
+
+    refine: mixed-precision iterative refinement (the TPU route to the
+    reference's 1e-8/1e-10 tolerances — /root/reference/src/bidomain_2d.py
+    :205, emi_2d.py:211 — where the device Krylov runs in f32, which
+    bottoms out ~1e-6 relative).  refine=k allows up to k correction
+    solves: the defect r = b - A@x is computed on host in float64, each
+    correction solves A d = r on device in `dtype` to `inner_tol`
+    (relative), and x accumulates in float64.  `tol` is then the final
+    *true-residual* target.  refine=0 (default) = single solve, `tol` is
+    the device Krylov's preconditioned-residual target."""
     slots = None
     if structured_coords is not None and grid is None \
             and precond not in ("diag",):
@@ -129,9 +140,10 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             prm = replace(prm, dtype=wanted)
         t0 = time.time()
         prec, slots, nsl = setup_structured(A, structured_coords, prm,
-                                            dtype=dtype)
+                                            dtype=dtype, pallas=pallas)
         t_setup = time.time() - t0
-        Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype))
+        Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype,
+                                              pallas=pallas))
         bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
             jnp.asarray(b, dtype=dtype))
         M = as_operator(prec)
@@ -146,9 +158,10 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             prm = replace(prm, dtype=wanted)
         t0 = time.time()
         prec, slots, nsl = setup_grid(A, dims, F=F, params=prm,
-                                      dtype=dtype)
+                                      dtype=dtype, pallas=pallas)
         t_setup = time.time() - t0
-        Aop = dia_matvec_op(grid_system(A, slots, dtype=dtype))
+        Aop = dia_matvec_op(grid_system(A, slots, dtype=dtype,
+                                        pallas=pallas))
         bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
             jnp.asarray(b, dtype=dtype))
         M = as_operator(prec)
@@ -160,19 +173,55 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         Aop = matvec_op(ELL.from_host(A, dtype=dtype))
         bj = jnp.asarray(b, dtype=dtype)
     t0 = time.time()
-    if method == "cg":
-        res = pcg(Aop, bj, M=M, tol=tol, maxiter=maxiter,
-                  callback=callback)
-        cond = res.cond
-    elif method == "minres":
-        res = minres(Aop, bj, M=M, tol=tol, maxiter=maxiter)
-        cond = float("nan")
-    else:
-        res = gmres(Aop, bj, M=M, tol=tol, maxiter=maxiter)
-        cond = float("nan")
-    x = np.asarray(res.x)
-    if slots is not None:
-        x = x[slots]
+
+    def _run(bdev, ktol, miter):
+        if method == "cg":
+            r = pcg(Aop, bdev, M=M, tol=ktol, maxiter=miter,
+                    callback=callback)
+        elif method == "minres":
+            r = minres(Aop, bdev, M=M, tol=ktol, maxiter=miter)
+        else:
+            r = gmres(Aop, bdev, M=M, tol=ktol, maxiter=miter)
+        xs = np.asarray(r.x, dtype=np.float64)
+        if slots is not None:
+            xs = xs[slots]
+        return xs, r
+
+    if refine:
+        # f64 defect correction around the device-precision inner solve.
+        # The jitted Krylov program is reused across corrections (same
+        # shapes -> one compile).
+        b64 = np.asarray(b, dtype=np.float64)
+        bnorm = np.linalg.norm(b64) or 1.0
+        x = np.zeros_like(b64)
+        total_iters, cond = 0, float("nan")
+        hist = []
+        for step in range(refine):
+            r64 = b64 - A.matvec(x)
+            rel = np.linalg.norm(r64) / bnorm
+            hist.append(rel)
+            if rel < tol:
+                break
+            if slots is not None:
+                rdev = jnp.zeros(nsl, dtype=dtype).at[
+                    jnp.asarray(slots)].set(jnp.asarray(r64, dtype=dtype))
+            else:
+                rdev = jnp.asarray(r64, dtype=dtype)
+            d, res = _run(rdev, inner_tol, maxiter)
+            if step == 0 and method == "cg":
+                cond = res.cond
+            total_iters += res.niters
+            x = x + d
+        rel = np.linalg.norm(b64 - A.matvec(x)) / bnorm
+        hist.append(rel)
+        t_solve = time.time() - t0
+        return SolveReport(
+            x=x, niters=total_iters, converged=bool(rel < tol), cond=cond,
+            r_norm=float(rel), t_setup=t_setup, t_solve=t_solve,
+            residuals=np.asarray(hist))
+
+    x, res = _run(bj, tol, maxiter)
+    cond = res.cond if method == "cg" else float("nan")
     t_solve = time.time() - t0
     return SolveReport(
         x=x, niters=res.niters, converged=res.converged, cond=cond,

@@ -90,6 +90,10 @@ class ELL:
     def __matmul__(self, x):
         return self.matvec(x)
 
+    def residual(self, x, b):
+        """b - A @ x (duck-type parity with DIA/PDIA)."""
+        return b - self.matvec(x)
+
     def matvec_rows(self, x, row_ids):
         """Partial SpMV over a static set of rows (for multicolor GS):
         returns (A @ x)[row_ids] without touching other rows."""

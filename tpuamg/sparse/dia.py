@@ -96,6 +96,10 @@ class DIA:
     def __matmul__(self, x):
         return self.matvec(x)
 
+    def residual(self, x, b):
+        """b - A @ x (the Pallas-backed PDIA fuses this into one launch)."""
+        return b - self.matvec(x)
+
     def diagonal(self):
         if 0 in self.offsets:
             return self.data[self.offsets.index(0)]
