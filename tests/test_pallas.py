@@ -186,3 +186,25 @@ def test_fused_cheb_smoother_matches_reference():
         y_ref = np.asarray(ref_sm.smooth(D, x0, b, iters))
         y_fus = np.asarray(fus_sm.smooth(None, x0, b, iters))
         np.testing.assert_allclose(y_fus, y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_cheb_smooth_residual():
+    """smooth_residual returns exactly (smooth(x), b - A smooth(x))."""
+    from tpuamg.sparse.dia_pallas import FusedChebSmoother, blockinv_dia
+    rng = np.random.default_rng(20)
+    n = 600
+    A = _random_dia(n, [-40, -2, 0, 2, 40], seed=21)
+    bi = rng.standard_normal((n // 2, 2, 2)) * 0.1
+    bi[:, 0, 0] += 1.0
+    bi[:, 1, 1] += 1.0
+    coffs, cdata = blockinv_dia(bi, np.ones(n))
+    D = DIA.from_host(A)
+    C = DIA(coffs, jnp.asarray(cdata, jnp.float32), (n, n))
+    sm = FusedChebSmoother.build(D, C, 1.9, 0.24, degree=3, interpret=True)
+    x0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    xs = np.asarray(sm.smooth(None, x0, b, 1))
+    x2, r2 = sm.smooth_residual(None, x0, b, 1)
+    np.testing.assert_allclose(np.asarray(x2), xs, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(b) - A.matvec(xs),
+                               rtol=2e-4, atol=2e-4)

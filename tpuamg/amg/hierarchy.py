@@ -102,8 +102,12 @@ class MGPreconditioner:
         if lvl == len(self.levels):
             return self._coarse_solve(b)
         L = self.levels[lvl]
-        x = L.smoother.smooth(L.A, x, b, self.presmooth)
-        r = L.A.residual(x, b)   # fused launch on the PDIA path
+        if hasattr(L.smoother, "smooth_residual"):
+            # pre-smooth + residual fused into one kernel launch
+            x, r = L.smoother.smooth_residual(L.A, x, b, self.presmooth)
+        else:
+            x = L.smoother.smooth(L.A, x, b, self.presmooth)
+            r = L.A.residual(x, b)   # fused launch on the PDIA path
         # NOTE: post-smoothing below passes reverse=True so nonsymmetric
         # smoothers (forward GS) apply their transpose — keeping the whole
         # cycle a symmetric operator, which CG requires.

@@ -126,6 +126,156 @@ class DiaChebyshevSmoother:
 
 
 @jax.tree_util.register_pytree_node_class
+class StructuredOp:
+    """Exact operator split  A = DIA + footprint-block correction.
+
+    3D-1D coupling (cylinder average, /root/reference/src/emi_3d1d.py:65-68)
+    gives each curve dof a wide 3D footprint; in slot space those entries
+    scatter over O(1000) distinct diagonal offsets (measured: 1981 at 777
+    dofs) — a plain DIA matvec would be a thousands-of-ops XLA program.
+    Here every offset whose entries are all coverable by a footprint block
+    moves into batched dense blocks (ids/mats); application is ONE 1-D
+    gather + batched MXU einsum + 1-D scatter-add on top of the narrow DIA
+    matvec.  ids are padded with n (ghost slot)."""
+
+    def __init__(self, dia, ids, mats, nnz=None):
+        self.dia = dia          # DIA or PDIA
+        self.ids = ids          # (nb, m) int32
+        self.mats = mats        # (nb, m, m)
+        self.shape = dia.shape
+        self.nnz = nnz if nnz is not None else dia.nnz
+
+    def tree_flatten(self):
+        return ((self.dia, self.ids, self.mats), (self.nnz,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        dia, ids, mats = ch
+        return cls(dia, ids, mats, aux[0])
+
+    @property
+    def dtype(self):
+        return self.dia.dtype
+
+    def _block_apply(self, x):
+        xpad = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+        xb = xpad[self.ids]
+        yb = jnp.einsum("bij,bj->bi", self.mats, xb)
+        return xpad.at[:].set(0.0).at[self.ids.reshape(-1)].add(
+            yb.reshape(-1).astype(x.dtype))[:-1]
+
+    def matvec(self, x):
+        return self.dia.matvec(x) + self._block_apply(x)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def residual(self, x, b):
+        return self.dia.residual(x, b) - self._block_apply(x)
+
+    def diagonal(self):
+        # offset 0 is always kept in the DIA part (split_footprint_operator)
+        return self.dia.diagonal()
+
+
+def _neighbor_blocks(A: HostCSR, seeds):
+    """One block per seed: the seed + its full matrix-graph neighborhood
+    (= the coupling footprint for 3D-1D curve dofs)."""
+    indptr, indices = A.indptr, A.indices
+    return [np.unique(np.concatenate(
+        [[int(s)], indices[indptr[int(s)]:indptr[int(s) + 1]]]))
+        for s in seeds]
+
+
+def split_footprint_operator(A: HostCSR, blocks):
+    """Exact split of A into (A_dia_host, ids, mats).
+
+    Every entry coverable by some block (both endpoints in it) is assigned
+    to exactly one block; offsets whose entries are ALL coverable (except
+    the main diagonal) move entirely to the block part, shrinking the DIA
+    offset set from O(1000) to the bulk-stencil set.  Entries at offsets
+    that also occur outside the blocks stay in the DIA part — the split is
+    exact by construction (each entry lives in exactly one part)."""
+    n = A.shape[0]
+    r, c, v = A.to_coo()
+    key_to_idx = {int(rr) * n + int(cc): i
+                  for i, (rr, cc) in enumerate(zip(r, c))}
+    offs = c - r
+    covered = np.zeros(len(r), dtype=bool)
+    assign = np.full(len(r), -1, dtype=np.int64)
+    pos_i = np.zeros(len(r), dtype=np.int32)
+    pos_j = np.zeros(len(r), dtype=np.int32)
+    for bid, blk in enumerate(blocks):
+        m = len(blk)
+        kk = (blk[:, None].astype(np.int64) * n + blk[None, :]).ravel()
+        for t, k in enumerate(kk):
+            idx = key_to_idx.get(int(k))
+            if idx is not None and not covered[idx]:
+                covered[idx] = True
+                assign[idx] = bid
+                pos_i[idx] = t // m
+                pos_j[idx] = t % m
+    to_block = np.zeros(len(r), dtype=bool)
+    for o in np.unique(offs):
+        sel = offs == o
+        if o != 0 and covered[sel].all():
+            to_block[sel] = True
+    keep = ~to_block
+    A_dia = HostCSR.from_coo(r[keep], c[keep], v[keep], A.shape)
+    nb = len(blocks)
+    mpad = max((len(b) for b in blocks), default=1)
+    ids = np.full((nb, mpad), n, dtype=np.int32)
+    for bid, blk in enumerate(blocks):
+        ids[bid, :len(blk)] = blk
+    mats = np.zeros((nb, mpad, mpad))
+    sel = np.flatnonzero(to_block)
+    mats[assign[sel], pos_i[sel], pos_j[sel]] = v[sel]
+    return A_dia, ids, mats
+
+
+@jax.tree_util.register_pytree_node_class
+class FootprintChebSmoother:
+    """Chebyshev on B^{-1}A with a COMPOSITE B^{-1} = slot-block inverses
+    + additive footprint-block inverses — the structured-path equivalent
+    of HAZmath's metric smoother split (interface Schwarz + GS elsewhere,
+    /root/reference/src/utils.py:84).  The footprint blocks contain each
+    interface dof's full coupling footprint (a 2-slot pair cannot capture
+    the one-to-many 3D-1D coupling), restoring gamma-robust smoothing;
+    the additive composition keeps B SPD and the smoother symmetric, and
+    Chebyshev absorbs the spectrum spread (lmax from power iteration)."""
+
+    def __init__(self, blockinv, mask, fp_ids, fp_inv, lmax, lmin,
+                 degree=3):
+        self.blockinv = blockinv      # (ng, s, s)
+        self.mask = mask
+        self.fp_ids = fp_ids          # (nb, m) int32, padded with n
+        self.fp_inv = fp_inv          # (nb, m, m)
+        self.lmax = lmax
+        self.lmin = lmin
+        self.degree = degree
+
+    def tree_flatten(self):
+        return ((self.blockinv, self.mask, self.fp_ids, self.fp_inv),
+                (self.lmax, self.lmin, self.degree))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, *aux)
+
+    def _binv(self, r):
+        ng, s, _ = self.blockinv.shape
+        z = jnp.einsum("bij,bj->bi", self.blockinv,
+                       r.reshape(ng, s)).reshape(-1) * self.mask
+        rpad = jnp.concatenate([r, jnp.zeros((1,), dtype=r.dtype)])
+        db = jnp.einsum("bij,bj->bi", self.fp_inv, rpad[self.fp_ids])
+        zpad = jnp.concatenate([z, jnp.zeros((1,), dtype=z.dtype)])
+        return zpad.at[self.fp_ids.reshape(-1)].add(
+            db.reshape(-1).astype(z.dtype))[:-1] * self.mask
+
+    smooth = BlockChebyshevSmoother.smooth
+
+
+@jax.tree_util.register_pytree_node_class
 class StructuredLevel:
     """Duck-typed MG level: DIA operator + window-reshape transfers."""
 
@@ -289,10 +439,38 @@ def _estimate_lmax(A: HostCSR, blockinv, mask, s, iters=15, seed=0):
     return float(lam)
 
 
+def _estimate_lmax_fp(A: HostCSR, blockinv, mask, s, fp_ids, fp_inv,
+                      iters=15, seed=0):
+    """Power iteration for lmax(B^{-1}A) with the composite B of
+    FootprintChebSmoother (host-side numpy mirror of its _binv)."""
+    rng = np.random.default_rng(seed)
+    n = A.shape[0]
+    ng = blockinv.shape[0]
+
+    def binv(y):
+        z = np.einsum("bij,bj->bi", blockinv,
+                      y.reshape(ng, s)).reshape(-1) * mask
+        ypad = np.concatenate([y, [0.0]])
+        db = np.einsum("bij,bj->bi", fp_inv, ypad[fp_ids])
+        zpad = np.concatenate([z, [0.0]])
+        np.add.at(zpad, fp_ids.reshape(-1), db.reshape(-1))
+        return zpad[:-1] * mask
+
+    x = rng.standard_normal(n) * mask
+    lam = 1.0
+    for _ in range(iters):
+        y = binv(A.matvec(x)) * mask
+        lam = np.linalg.norm(y)
+        if lam == 0:
+            return 1.0
+        x = y / lam
+    return float(lam)
+
+
 def setup_structured(A_host: HostCSR, coords,
                      params: AMGParameters = AMGParameters(),
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
-                     pairs=None, pallas=None):
+                     pairs=None, pallas=None, idofs=None):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -300,6 +478,10 @@ def setup_structured(A_host: HostCSR, coords,
     them and the Z-curve keeps them adjacent).
     pairs: optional explicit partner map (match[i] = j or -1); default =
     HEM matching on the strength graph.
+    idofs: interface dofs with WIDE coupling footprints (3D-1D averaging:
+    a curve dof couples to every 3D dof in its circle) — when given and
+    params.schwarz_levels > 0, level 0 additionally gets footprint
+    Schwarz blocks seeded at these dofs (FootprintMetricSmoother).
 
     Returns (prec, slots0, n_slots0): solve in slot space —
         b_s = jnp.zeros(n_slots0).at[slots0].set(b)   # out-of-loop scatter
@@ -338,6 +520,14 @@ def setup_structured(A_host: HostCSR, coords,
 
     from ..amg.grid import resolve_pallas
     use_pallas, interpret = resolve_pallas(pallas)
+    # Footprint blocks only for genuinely low-dimensional interfaces
+    # (3D-1D curve dofs: n1 << n).  For same-dimension interfaces
+    # (bidomain/EMI trace coupling) the HEM pair blocks already solve
+    # the coupling exactly and idofs can be O(n) — skip.
+    fp_blocks = None
+    if (idofs is not None and params.schwarz_levels > 0
+            and 0 < len(idofs) * 8 < A_host.shape[0]):
+        fp_blocks = _neighbor_blocks(A, np.sort(slots0[np.asarray(idofs)]))
     levels = []
     s = 2
     while (len(levels) < params.max_levels - 1
@@ -345,8 +535,37 @@ def setup_structured(A_host: HostCSR, coords,
         A, mask = _pad_to_multiple(A, mask, s)
         ng = A.shape[0] // s
         blockinv = _slot_blocks(A, s)
-        lmax = _estimate_lmax(A, blockinv, mask, s)
-        if use_pallas:
+        fp_ids = fp_inv = None
+        if fp_blocks is not None:
+            n_lvl = A.shape[0]
+            mpad = max(len(b) for b in fp_blocks)
+            fp_ids = np.full((len(fp_blocks), mpad), n_lvl,
+                             dtype=np.int32)
+            fp_inv = np.tile(np.eye(mpad), (len(fp_blocks), 1, 1))
+            for bi, blk in enumerate(fp_blocks):
+                fp_ids[bi, :len(blk)] = blk
+                sub = A.extract_submatrix(blk, blk)
+                fp_inv[bi, :len(blk), :len(blk)] = np.linalg.inv(sub)
+            lmax = _estimate_lmax_fp(A, blockinv, mask, s, fp_ids, fp_inv)
+        else:
+            lmax = _estimate_lmax(A, blockinv, mask, s)
+        if fp_blocks is not None:
+            # exact DIA + footprint-block split (O(1000) offsets would
+            # otherwise land in the DIA) and composite-B smoother
+            A_dia, op_ids, op_mats = split_footprint_operator(A, fp_blocks)
+            D = DIA.from_host(A_dia, dtype=dtype)
+            if use_pallas:
+                from ..sparse.dia_pallas import PDIA
+                D = PDIA.from_dia(D, interpret=interpret)
+            Adev = StructuredOp(D, jnp.asarray(op_ids),
+                                jnp.asarray(op_mats, dtype=dtype),
+                                nnz=A.nnz)
+            smoother = FootprintChebSmoother(
+                jnp.asarray(blockinv, dtype=dtype),
+                jnp.asarray(mask, dtype=dtype),
+                jnp.asarray(fp_ids), jnp.asarray(fp_inv, dtype=dtype),
+                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+        elif use_pallas:
             from ..sparse.dia_pallas import (
                 PDIA, blockinv_dia, FusedChebSmoother,
                 fused_cheb_vmem_bytes, FUSED_VMEM_BUDGET)
@@ -377,6 +596,8 @@ def setup_structured(A_host: HostCSR, coords,
             Adev, smoother,
             jnp.asarray(mask, dtype=dtype), s, ng))
         A, mask = _window_coarse(A, mask, s)
+        if fp_blocks is not None:
+            fp_blocks = [np.unique(blk // s) for blk in fp_blocks]
         s = 4
 
     # stitch level nc = next level's actual (padded) row count; the
@@ -396,8 +617,12 @@ def setup_structured(A_host: HostCSR, coords,
 
 
 def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32,
-                      pallas=None):
-    """Permute the outer operator into slot space (identity ghosts)."""
+                      pallas=None, idofs=None):
+    """Permute the outer operator into slot space (identity ghosts).
+
+    idofs: as in setup_structured — when the interface dofs have wide
+    coupling footprints (3D-1D), the operator is split into a narrow DIA
+    plus batched footprint blocks (StructuredOp)."""
     r, c, v = A_host.to_coo()
     mask = np.zeros(n_slots)
     mask[slots] = 1.0
@@ -406,9 +631,21 @@ def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32,
         np.concatenate([slots[r], ghost]),
         np.concatenate([slots[c], ghost]),
         np.concatenate([v, np.ones(len(ghost))]), (n_slots, n_slots))
-    D = DIA.from_host(A_slots, dtype=dtype)
     from ..amg.grid import resolve_pallas
     use_pallas, interpret = resolve_pallas(pallas)
+    if (idofs is not None
+            and 0 < len(idofs) * 8 < A_host.shape[0]):
+        blocks = _neighbor_blocks(A_slots,
+                                  np.sort(slots[np.asarray(idofs)]))
+        A_dia, op_ids, op_mats = split_footprint_operator(A_slots, blocks)
+        D = DIA.from_host(A_dia, dtype=dtype)
+        if use_pallas:
+            from ..sparse.dia_pallas import PDIA
+            D = PDIA.from_dia(D, interpret=interpret)
+        return StructuredOp(D, jnp.asarray(op_ids),
+                            jnp.asarray(op_mats, dtype=dtype),
+                            nnz=A_slots.nnz)
+    D = DIA.from_host(A_slots, dtype=dtype)
     if use_pallas:
         from ..sparse.dia_pallas import PDIA
         return PDIA.from_dia(D, interpret=interpret)

@@ -17,8 +17,13 @@ import numpy as np
 from ..sparse import HostCSR
 
 
-def dump_system(A: HostCSR, b, sizes, folder):
-    """Write A (COO), b, idofs, idofs3d — utils.py:304-333 layout."""
+def dump_system(A: HostCSR, b, sizes, folder, coords=None):
+    """Write A (COO), b, idofs, idofs3d — utils.py:304-333 layout.
+
+    coords: optional (n, d) dof coordinates, saved as ``coords.npy`` —
+    an ADDITION to the reference format that lets the offline solver use
+    the structured (gather-free, TPU-fast) path; absent -> the loader
+    falls back to the algebraic path."""
     os.makedirs(folder, exist_ok=True)
     r, c, v = A.to_coo()
     assert np.all(np.isfinite(v))
@@ -32,10 +37,13 @@ def dump_system(A: HostCSR, b, sizes, folder):
             np.arange(n1, ntot, dtype=np.int32))
     np.save(os.path.join(folder, "idofs3d.npy"),
             np.arange(n1, dtype=np.int32))
+    if coords is not None:
+        np.save(os.path.join(folder, "coords.npy"),
+                np.asarray(coords, dtype=np.float64))
 
 
-def load_system(folder):
-    """Read the dump back: (A: HostCSR, b, idofs, idofs3d)."""
+def load_system(folder, with_coords=False):
+    """Read the dump back: (A: HostCSR, b, idofs, idofs3d[, coords])."""
     coo = np.load(os.path.join(folder, "A.npy"))
     b = np.load(os.path.join(folder, "b.npy"))
     idofs = np.load(os.path.join(folder, "idofs.npy"))
@@ -43,6 +51,10 @@ def load_system(folder):
     n = len(b)
     A = HostCSR.from_coo(coo[:, 0].astype(np.int64),
                          coo[:, 1].astype(np.int64), coo[:, 2], (n, n))
+    if with_coords:
+        cpath = os.path.join(folder, "coords.npy")
+        coords = np.load(cpath) if os.path.exists(cpath) else None
+        return A, b, idofs, idofs3d, coords
     return A, b, idofs, idofs3d
 
 

@@ -169,7 +169,8 @@ def main(argv=None):
           time.time() - start, "\n")
 
     if args.dump:
-        dump_system(A, b, sizes, args.outdir)
+        coords = np.concatenate([mesh3d.vertices, curve.vertices])
+        dump_system(A, b, sizes, args.outdir, coords=coords)
     elif args.load_solution is not None:
         print_red(f"Loading results from {args.load_solution}...")
         sol = read_solution(args.load_solution)

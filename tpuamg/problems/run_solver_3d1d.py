@@ -45,12 +45,21 @@ def main(argv=None):
     jax.config.update("jax_enable_x64", True)
 
     amg_params, solver_cfg = dat_to_amg_parameters(args.infile)
-    A, b, idofs, idofs3d = load_system(args.indir)
+    A, b, idofs, idofs3d, coords = load_system(args.indir,
+                                               with_coords=True)
     sizes = (len(idofs3d), len(b) - len(idofs3d))
+    # coords.npy present (our extension of the reference dump layout) AND
+    # running on TPU -> the structured gather-free path (DIA + footprint
+    # blocks); otherwise the algebraic ELL path (reference parity; also
+    # the fastest CPU path: fewer, cheaper iterations).
+    use_structured = coords is not None and \
+        jax.default_backend() == "tpu"
     rep = solve_system(A, b, "metric_hazmath", sizes, idofs=idofs,
                        params=amg_params, tol=solver_cfg.tolerance,
                        maxiter=solver_cfg.maxiter,
-                       method=solver_cfg.method)
+                       method=solver_cfg.method,
+                       structured_coords=coords if use_structured
+                       else None)
     print_red(f"niters={rep.niters} converged={rep.converged} "
               f"setup={rep.t_setup:.2f}s solve={rep.t_solve:.2f}s")
     path = write_solution(args.outdir, rep.x)

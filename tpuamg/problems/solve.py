@@ -140,10 +140,11 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             prm = replace(prm, dtype=wanted)
         t0 = time.time()
         prec, slots, nsl = setup_structured(A, structured_coords, prm,
-                                            dtype=dtype, pallas=pallas)
+                                            dtype=dtype, pallas=pallas,
+                                            idofs=idofs)
         t_setup = time.time() - t0
         Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype,
-                                              pallas=pallas))
+                                              pallas=pallas, idofs=idofs))
         bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
             jnp.asarray(b, dtype=dtype))
         M = as_operator(prec)

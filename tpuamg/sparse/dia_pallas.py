@@ -298,8 +298,12 @@ def _cheb_coefs(lmax, lmin, degree):
 
 
 def _cheb_kernel(offsA, offsC, p, rb, nblocks, degree, iters, theta, coefs,
-                 x_ref, b_ref, dataA_ref, dataC_ref, out_ref,
-                 t_ref, d_ref, bufA, bufC, semA, semC):
+                 want_r, x_ref, b_ref, dataA_ref, dataC_ref, *refs):
+    if want_r:
+        out_ref, r_ref, t_ref, d_ref, bufA, bufC, semA, semC = refs
+    else:
+        out_ref, t_ref, d_ref, bufA, bufC, semA, semC = refs
+        r_ref = None
     nrows = nblocks * rb
     out_ref[:] = x_ref[:]
     t_ref[:] = jnp.zeros_like(t_ref)
@@ -349,38 +353,52 @@ def _cheb_kernel(offsA, offsC, p, rb, nblocks, degree, iters, theta, coefs,
                         ak * d_ref[pl.ds(base, rb), :] + ck * acc)
             sweep(dataC_ref, bufC, semC, t_ref, offsC, w_d)
     out_ref[p:p + nrows, :] = out_ref[p:p + nrows, :] + d_ref[:]
+    if want_r:
+        # one more A-pass: r = b - A x_final fused into the same launch
+        # (replaces the separate residual kernel of the V-cycle)
+        def w_r(base, acc):
+            r_ref[pl.ds(base, rb), :] = (
+                b_ref[pl.ds(base, rb), :].astype(jnp.float32) - acc)
+        sweep(dataA_ref, bufA, semA, out_ref, offsA, w_r)
 
 
 @partial(jax.jit, static_argnames=("offsA", "offsC", "p", "rb", "degree",
-                                   "iters", "theta", "coefs", "interpret"))
+                                   "iters", "theta", "coefs", "interpret",
+                                   "want_r"))
 def _cheb_call(offsA, offsC, p, rb, degree, iters, theta, coefs, interpret,
-               xpad2, b2, dataA4, dataC4):
+               xpad2, b2, dataA4, dataC4, want_r=False):
     nblocks, ndA = dataA4.shape[0], dataA4.shape[1]
     ndC = dataC4.shape[1]
     nrows = nblocks * rb
     kern = partial(_cheb_kernel, offsA, offsC, p, rb, nblocks, degree,
-                   iters, theta, coefs)
+                   iters, theta, coefs, want_r)
+    out_shape = jax.ShapeDtypeStruct((nrows + 2 * p, LANES), jnp.float32)
+    out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if want_r:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((nrows, LANES), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.VMEM))
     with jax.enable_x64(False):
         return pl.pallas_call(
-        kern,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x (halo)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # b
-            pl.BlockSpec(memory_space=pltpu.ANY),    # A planes (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # C planes (HBM)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nrows + 2 * p, LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((nrows + 2 * p, LANES), jnp.float32),      # t
-            pltpu.VMEM((nrows, LANES), jnp.float32),              # d
-            pltpu.VMEM((2, ndA, rb, LANES), dataA4.dtype),        # bufA
-            pltpu.VMEM((2, ndC, rb, LANES), dataC4.dtype),        # bufC
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(xpad2, b2, dataA4, dataC4)
+            kern,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x (halo)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # b
+                pl.BlockSpec(memory_space=pltpu.ANY),    # A planes (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),    # C planes (HBM)
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((nrows + 2 * p, LANES), jnp.float32),   # t
+                pltpu.VMEM((nrows, LANES), jnp.float32),           # d
+                pltpu.VMEM((2, ndA, rb, LANES), dataA4.dtype),     # bufA
+                pltpu.VMEM((2, ndC, rb, LANES), dataC4.dtype),     # bufC
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(xpad2, b2, dataA4, dataC4)
 
 
 def _pack_blocks(data, n, nrows, rb):
@@ -463,3 +481,19 @@ class FusedChebSmoother:
                         self.degree, int(iters), theta, coefs,
                         self.interpret, xpad2, b2, self.dataA4, self.dataC4)
         return y2.reshape(-1)[p:p + n]
+
+    def smooth_residual(self, A, x, b, iters=1):
+        """(x_smoothed, b - A x_smoothed) in ONE launch — replaces the
+        separate residual kernel of the V-cycle's restrict step."""
+        del A
+        n = self.n
+        nrows = self.dataA4.shape[0] * self.rb
+        p = self.padr * LANES
+        xpad2 = jnp.pad(x, (p, p + nrows * LANES - n)).reshape(-1, LANES)
+        b2 = jnp.pad(b, (0, nrows * LANES - n)).reshape(-1, LANES)
+        theta, coefs = _cheb_coefs(self.lmax, self.lmin, self.degree)
+        y2, r2 = _cheb_call(self.offsA, self.offsC, self.padr, self.rb,
+                            self.degree, int(iters), theta, coefs,
+                            self.interpret, xpad2, b2, self.dataA4,
+                            self.dataC4, want_r=True)
+        return y2.reshape(-1)[p:p + n], r2.reshape(-1)[:n]
