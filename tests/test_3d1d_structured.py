@@ -53,11 +53,11 @@ def test_3d1d_structured_gamma_robust(gamma):
     n3, n1 = sizes
     idofs = np.arange(n3, n3 + n1)
     prm = AMGParameters(cycle_type="v", dtype="float64",
-                        schwarz_levels=1)
+                        schwarz_levels=2)
     rep = solve_system(A, b, "metric_mono", sizes, params=prm, tol=1e-8,
                        maxiter=150, structured_coords=coords,
                        idofs=idofs, pallas=False)
     assert rep.converged, (gamma, rep.niters)
-    assert rep.niters <= 60, (gamma, rep.niters)
+    assert rep.niters <= 40, (gamma, rep.niters)
     rel = np.linalg.norm(b - A.matvec(rep.x)) / np.linalg.norm(b)
     assert rel < 1e-7, (gamma, rel)

@@ -148,3 +148,51 @@ def test_distributed_grid_solve_pads_and_shards():
     rel = np.linalg.norm(b - A.matvec(res.x)) / np.linalg.norm(b)
     assert rel < 1e-6
     np.testing.assert_allclose(res.x, rep.x, atol=1e-5)
+
+
+def test_agglomerated_coarse_sharding():
+    """Three-tier residency over a ("po","pi") mesh: fine level sharded
+    over all 8 devices, mid levels agglomerated onto the po groups,
+    coarse replicated — and the solve still matches the serial one."""
+    from jax.sharding import PartitionSpec as P
+    from tpuamg.problems.bidomain import Params, get_mesh, get_system
+    from tpuamg.dist.sharding import (device_mesh2d,
+                                      shard_preconditioner_agglomerated,
+                                      shard_dia, _put)
+    from tpuamg.dist.solve import pad_grid_problem, unpad_grid_vector
+    from tpuamg.amg.grid import setup_grid, grid_system
+    from tpuamg.sparse.dia import dia_matvec_op
+    from tpuamg.krylov import pcg
+    from tpuamg.amg import as_operator
+
+    p = Params(2.0, 3.0, 1e4)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    mesh2d = get_mesh(16, 2)
+    A, b, sizes, _ = get_system(mesh2d, data, p)
+    dmesh = device_mesh2d(outer=2, inner=4)
+    A2, b2, dims2, mask2 = pad_grid_problem(A, b, (17, 17), 2, 8 * 2)
+    prm = AMGParameters(cycle_type="v", dtype="float64", coarse_dof=32)
+    prec, slots, nsl = setup_grid(A2, dims2, F=2, mask=mask2, params=prm,
+                                  dtype=jnp.float64, pallas=False)
+    sizes_lvl = [L.A.shape[0] for L in prec.levels]
+    assert len(sizes_lvl) >= 3, sizes_lvl
+    # thresholds chosen so all 3 tiers occur: level 0 fully sharded,
+    # middle level(s) agglomerated onto po groups, last level replicated
+    prec_s = shard_preconditioner_agglomerated(
+        prec, dmesh, agglomerate_below=sizes_lvl[0],
+        replicate_below=sizes_lvl[-1] + 1)
+    specs = [tuple(L.A.data.sharding.spec) for L in prec_s.levels]
+    assert specs[0] in ((None, ("po", "pi")),), specs[0]
+    assert any(s == (None, "po") for s in specs[1:]), specs
+    assert specs[-1] == (), specs[-1]
+
+    Adia = grid_system(A2, slots, dtype=jnp.float64, pallas=False)
+    Adia = shard_dia(Adia, dmesh, row_sharded=False)  # replicate outer op
+    bj = jnp.zeros(nsl).at[jnp.asarray(slots)].set(jnp.asarray(b2))
+    res = pcg(dia_matvec_op(Adia), bj, M=as_operator(prec_s), tol=1e-8,
+              maxiter=60)
+    assert res.converged
+    x = unpad_grid_vector(np.asarray(res.x)[np.asarray(slots)],
+                          (17, 17), dims2, 2)
+    rel = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert rel < 1e-6, rel

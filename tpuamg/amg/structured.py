@@ -234,45 +234,44 @@ def split_footprint_operator(A: HostCSR, blocks):
 
 
 @jax.tree_util.register_pytree_node_class
-class FootprintChebSmoother:
-    """Chebyshev on B^{-1}A with a COMPOSITE B^{-1} = slot-block inverses
-    + additive footprint-block inverses — the structured-path equivalent
-    of HAZmath's metric smoother split (interface Schwarz + GS elsewhere,
-    /root/reference/src/utils.py:84).  The footprint blocks contain each
-    interface dof's full coupling footprint (a 2-slot pair cannot capture
-    the one-to-many 3D-1D coupling), restoring gamma-robust smoothing;
-    the additive composition keeps B SPD and the smoother symmetric, and
-    Chebyshev absorbs the spectrum spread (lmax from power iteration)."""
+class FootprintMetricSmoother:
+    """Exact colored-multiplicative footprint Schwarz + slot-block
+    Chebyshev, composed symmetrically — the structured-path equivalent of
+    HAZmath's metric smoother split (interface Schwarz + GS elsewhere,
+    /root/reference/src/utils.py:84, input_metric.dat:57).
 
-    def __init__(self, blockinv, mask, fp_ids, fp_inv, lmax, lmin,
-                 degree=3):
-        self.blockinv = blockinv      # (ng, s, s)
-        self.mask = mask
-        self.fp_ids = fp_ids          # (nb, m) int32, padded with n
-        self.fp_inv = fp_inv          # (nb, m, m)
-        self.lmax = lmax
-        self.lmin = lmin
-        self.degree = degree
+    Each Schwarz block holds one interface (curve) dof plus its FULL
+    coupling footprint (the cylinder average couples a curve dof to every
+    3D dof its circle touches, /root/reference/src/emi_3d1d.py:65-68 — a
+    2-slot pair block cannot capture that), solved exactly; blocks are
+    colored by overlap and swept multiplicatively (symmetric), the only
+    variant measured gamma-robust (additive composite: 67 iters at
+    gamma=1e8; PoU-weighted additive: diverges).
+
+    Symmetry: pre-smooth = Schwarz(sym) then Chebyshev, post-smooth
+    (reverse) = Chebyshev then Schwarz(sym) — the cycle operator stays
+    symmetric (CG requirement)."""
+
+    def __init__(self, schwarz, cheb):
+        self.schwarz = schwarz
+        self.cheb = cheb
 
     def tree_flatten(self):
-        return ((self.blockinv, self.mask, self.fp_ids, self.fp_inv),
-                (self.lmax, self.lmin, self.degree))
+        return ((self.schwarz, self.cheb), ())
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, *aux)
+        return cls(*ch)
 
-    def _binv(self, r):
-        ng, s, _ = self.blockinv.shape
-        z = jnp.einsum("bij,bj->bi", self.blockinv,
-                       r.reshape(ng, s)).reshape(-1) * self.mask
-        rpad = jnp.concatenate([r, jnp.zeros((1,), dtype=r.dtype)])
-        db = jnp.einsum("bij,bj->bi", self.fp_inv, rpad[self.fp_ids])
-        zpad = jnp.concatenate([z, jnp.zeros((1,), dtype=z.dtype)])
-        return zpad.at[self.fp_ids.reshape(-1)].add(
-            db.reshape(-1).astype(z.dtype))[:-1] * self.mask
-
-    smooth = BlockChebyshevSmoother.smooth
+    def smooth(self, A, x, b, iters=1, reverse=False):
+        for _ in range(iters):
+            if reverse:
+                x = self.cheb.smooth(A, x, b, 1)
+                x = self.schwarz.smooth(A, x, b, 1)
+            else:
+                x = self.schwarz.smooth(A, x, b, 1)
+                x = self.cheb.smooth(A, x, b, 1)
+        return x
 
 
 @jax.tree_util.register_pytree_node_class
@@ -439,34 +438,6 @@ def _estimate_lmax(A: HostCSR, blockinv, mask, s, iters=15, seed=0):
     return float(lam)
 
 
-def _estimate_lmax_fp(A: HostCSR, blockinv, mask, s, fp_ids, fp_inv,
-                      iters=15, seed=0):
-    """Power iteration for lmax(B^{-1}A) with the composite B of
-    FootprintChebSmoother (host-side numpy mirror of its _binv)."""
-    rng = np.random.default_rng(seed)
-    n = A.shape[0]
-    ng = blockinv.shape[0]
-
-    def binv(y):
-        z = np.einsum("bij,bj->bi", blockinv,
-                      y.reshape(ng, s)).reshape(-1) * mask
-        ypad = np.concatenate([y, [0.0]])
-        db = np.einsum("bij,bj->bi", fp_inv, ypad[fp_ids])
-        zpad = np.concatenate([z, [0.0]])
-        np.add.at(zpad, fp_ids.reshape(-1), db.reshape(-1))
-        return zpad[:-1] * mask
-
-    x = rng.standard_normal(n) * mask
-    lam = 1.0
-    for _ in range(iters):
-        y = binv(A.matvec(x)) * mask
-        lam = np.linalg.norm(y)
-        if lam == 0:
-            return 1.0
-        x = y / lam
-    return float(lam)
-
-
 def setup_structured(A_host: HostCSR, coords,
                      params: AMGParameters = AMGParameters(),
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
@@ -524,10 +495,11 @@ def setup_structured(A_host: HostCSR, coords,
     # (3D-1D curve dofs: n1 << n).  For same-dimension interfaces
     # (bidomain/EMI trace coupling) the HEM pair blocks already solve
     # the coupling exactly and idofs can be O(n) — skip.
-    fp_blocks = None
+    fp_blocks = fp_seeds = None
     if (idofs is not None and params.schwarz_levels > 0
             and 0 < len(idofs) * 8 < A_host.shape[0]):
-        fp_blocks = _neighbor_blocks(A, np.sort(slots0[np.asarray(idofs)]))
+        fp_seeds = np.sort(slots0[np.asarray(idofs)])
+        fp_blocks = _neighbor_blocks(A, fp_seeds)
     levels = []
     s = 2
     while (len(levels) < params.max_levels - 1
@@ -535,23 +507,23 @@ def setup_structured(A_host: HostCSR, coords,
         A, mask = _pad_to_multiple(A, mask, s)
         ng = A.shape[0] // s
         blockinv = _slot_blocks(A, s)
-        fp_ids = fp_inv = None
-        if fp_blocks is not None:
-            n_lvl = A.shape[0]
-            mpad = max(len(b) for b in fp_blocks)
-            fp_ids = np.full((len(fp_blocks), mpad), n_lvl,
-                             dtype=np.int32)
-            fp_inv = np.tile(np.eye(mpad), (len(fp_blocks), 1, 1))
-            for bi, blk in enumerate(fp_blocks):
-                fp_ids[bi, :len(blk)] = blk
-                sub = A.extract_submatrix(blk, blk)
-                fp_inv[bi, :len(blk), :len(blk)] = np.linalg.inv(sub)
-            lmax = _estimate_lmax_fp(A, blockinv, mask, s, fp_ids, fp_inv)
-        else:
-            lmax = _estimate_lmax(A, blockinv, mask, s)
+        fp_schwarz = None
+        if fp_blocks is not None and len(levels) < params.schwarz_levels:
+            # exact colored-multiplicative Schwarz on footprint blocks
+            # with LOCAL per-color residuals — the full-matvec variant
+            # traces ~300 XLA ops per color x O(10) colors (footprints
+            # overlap ~10 deep along the curve): 28-minute compiles.
+            # (See FootprintMetricSmoother for why not additive/PoU.)
+            from ..smoothers.schwarz import build_local_schwarz
+            fp_schwarz = build_local_schwarz(
+                A, seeds=fp_seeds, maxlvl=1,
+                mmsize=max(params.schwarz_mmsize,
+                           max(len(b) for b in fp_blocks) + 1),
+                symmetric=True, dtype=dtype)
+        lmax = _estimate_lmax(A, blockinv, mask, s)
         if fp_blocks is not None:
             # exact DIA + footprint-block split (O(1000) offsets would
-            # otherwise land in the DIA) and composite-B smoother
+            # otherwise land in the DIA)
             A_dia, op_ids, op_mats = split_footprint_operator(A, fp_blocks)
             D = DIA.from_host(A_dia, dtype=dtype)
             if use_pallas:
@@ -560,11 +532,12 @@ def setup_structured(A_host: HostCSR, coords,
             Adev = StructuredOp(D, jnp.asarray(op_ids),
                                 jnp.asarray(op_mats, dtype=dtype),
                                 nnz=A.nnz)
-            smoother = FootprintChebSmoother(
+            smoother = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=dtype),
                 jnp.asarray(mask, dtype=dtype),
-                jnp.asarray(fp_ids), jnp.asarray(fp_inv, dtype=dtype),
                 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+            if fp_schwarz is not None:
+                smoother = FootprintMetricSmoother(fp_schwarz, smoother)
         elif use_pallas:
             from ..sparse.dia_pallas import (
                 PDIA, blockinv_dia, FusedChebSmoother,
@@ -598,6 +571,7 @@ def setup_structured(A_host: HostCSR, coords,
         A, mask = _window_coarse(A, mask, s)
         if fp_blocks is not None:
             fp_blocks = [np.unique(blk // s) for blk in fp_blocks]
+            fp_seeds = np.unique(fp_seeds // s)
         s = 4
 
     # stitch level nc = next level's actual (padded) row count; the

@@ -191,3 +191,96 @@ def shard_preconditioner(prec: MGPreconditioner, mesh,
                             postsmooth=prec.postsmooth,
                             amli_degree=prec.amli_degree,
                             max_w_work=prec.max_w_work)
+
+
+# ---------------------------------------------------------------------------
+# Coarse agglomeration onto device subsets (SURVEY.md §5.7/§5.8 north star;
+# round-1 backlog).  A 2-D mesh ("po", "pi") expresses three residency
+# tiers per level:
+#   n >= shard_below      -> P(("po","pi")): rows over ALL devices,
+#   agglomerate window    -> P("po"):        rows over the po groups only —
+#                            each row lives on |pi| devices (replicated
+#                            within the group): the coarse problem has been
+#                            agglomerated onto a device subset, so its
+#                            smaller collectives ride the group's links,
+#   below replicate_below -> P():            fully replicated (redundant
+#                            compute, zero comms — the standard endgame).
+# GSPMD inserts the re-sharding collectives at the level transfers.
+# ---------------------------------------------------------------------------
+
+def device_mesh2d(outer=None, inner=None, devices=None):
+    """2-D ("po", "pi") mesh for agglomerated hierarchies."""
+    if devices is None:
+        devices = jax.devices()
+    ndev = len(devices)
+    if outer is None:
+        outer = max(1, ndev // (inner or 2))
+    if inner is None:
+        inner = ndev // outer
+    assert outer * inner <= ndev
+    arr = np.array(devices[:outer * inner]).reshape(outer, inner)
+    return Mesh(arr, ("po", "pi"))
+
+
+def _spec_axis_size(mesh, ax):
+    if ax is None:
+        return 1
+    if isinstance(ax, (tuple, list)):
+        return int(np.prod([mesh.shape[a] for a in ax]))
+    return int(mesh.shape[ax])
+
+
+def _put_spec(x, mesh, spec):
+    """device_put with spec if every sharded dim divides, else replicate."""
+    ok = all(x.shape[i] % _spec_axis_size(mesh, ax) == 0
+             for i, ax in enumerate(spec))
+    return _put(x, mesh, spec if ok else P())
+
+
+def _shard_grid_level_axes(L, mesh, row_ax):
+    """GridLevel/StructuredLevel with rows sharded over `row_ax`
+    (None / "po" / ("po","pi"))."""
+    spec_v = P(row_ax) if row_ax is not None else P()
+    spec_d = P(None, row_ax) if row_ax is not None else P()
+    A = DIA(L.A.offsets, _put_spec(L.A.data, mesh, spec_d), L.A.shape,
+            L.A.nnz)
+    mask = _put_spec(L.mask, mesh, spec_v)
+    sm = L.smoother
+    if isinstance(sm, BlockChebyshevSmoother):
+        sm = BlockChebyshevSmoother(
+            _put_spec(sm.blockinv, mesh,
+                      P(row_ax, None, None) if row_ax is not None
+                      else P()),
+            _put_spec(sm.mask, mesh, spec_v), sm.lmax, sm.lmin, sm.degree)
+    elif isinstance(sm, ChebyshevDiagSmoother):
+        sm = ChebyshevDiagSmoother(
+            _put_spec(sm.invd, mesh, spec_v),
+            _put_spec(sm.mask, mesh, spec_v), sm.lmax, sm.lmin, sm.degree)
+    if isinstance(L, GridLevel):
+        return GridLevel(A, sm, mask, L.dims, L.F)
+    return StructuredLevel(A, sm, mask, L.s, L.n_groups, L.nc)
+
+
+def shard_preconditioner_agglomerated(prec: MGPreconditioner, mesh,
+                                      agglomerate_below=65536,
+                                      replicate_below=4096):
+    """Three-tier residency over a 2-D ("po","pi") mesh (see module note).
+
+    Grid/Structured (DIA) hierarchies only — the flagship TPU paths."""
+    assert tuple(mesh.axis_names) == ("po", "pi"), mesh.axis_names
+    levels = []
+    for L in prec.levels:
+        n = L.A.shape[0]
+        if n >= agglomerate_below:
+            row_ax = ("po", "pi")
+        elif n >= replicate_below:
+            row_ax = "po"
+        else:
+            row_ax = None
+        levels.append(_shard_grid_level_axes(L, mesh, row_ax))
+    coarse_inv = _put(prec.coarse_inv, mesh, P())
+    return MGPreconditioner(levels, coarse_inv, cycle=prec.cycle,
+                            maxit=prec.maxit, presmooth=prec.presmooth,
+                            postsmooth=prec.postsmooth,
+                            amli_degree=prec.amli_degree,
+                            max_w_work=prec.max_w_work)

@@ -238,3 +238,100 @@ class MetricSmoother:
             if self.gs is not None:
                 x = self.gs.smooth(A, x, b, reverse=not reverse)
         return x
+
+
+@jax.tree_util.register_pytree_node_class
+class LocalSchwarzSmoother:
+    """Colored multiplicative Schwarz with LOCAL residuals.
+
+    SchwarzSmoother computes a full ``b - A x`` per color, which is fine
+    when the matvec is one op (ELL) but blows the compiled program up
+    when it is op-heavy (wide-DIA / split structured operators, ~300 XLA
+    ops each — the 3D-1D footprint blocks overlap ~10 deep along the
+    curve, so color counts are O(10)).  Here each color carries batched
+    dense extracts of its block ROWS of A (row_cols/row_vals, padded with
+    the ghost column n), so one color update is
+
+        r_loc  = b[ids] - sum_k row_vals * x[row_cols]      (local rows)
+        x[ids] += inv_blocks @ r_loc                        (MXU batch)
+
+    ~6 ops per color regardless of the operator's matvec cost.  Blocks
+    within a color are disjoint (overlap coloring), so the scatter is
+    conflict-free and the sweep is a true multiplicative Gauss-Seidel
+    over blocks; symmetric = forward colors then reversed."""
+
+    def __init__(self, dof_ids, inv_blocks, row_cols, row_vals,
+                 symmetric=True):
+        self.dof_ids = tuple(dof_ids)        # per color: (nb, m)
+        self.inv_blocks = tuple(inv_blocks)  # per color: (nb, m, m)
+        self.row_cols = tuple(row_cols)      # per color: (nb, m, K)
+        self.row_vals = tuple(row_vals)      # per color: (nb, m, K)
+        self.symmetric = symmetric
+
+    def tree_flatten(self):
+        return ((self.dof_ids, self.inv_blocks, self.row_cols,
+                 self.row_vals), (self.symmetric,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        ids, inv, rc, rv = ch
+        return cls(ids, inv, rc, rv, aux[0])
+
+    def _color_update(self, x, b, c):
+        xpad = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+        bpad = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
+        ax = jnp.einsum("bmk,bmk->bm", self.row_vals[c],
+                        xpad[self.row_cols[c]])
+        r = bpad[self.dof_ids[c]] - ax
+        delta = jnp.einsum("bij,bj->bi", self.inv_blocks[c], r)
+        xpad = xpad.at[self.dof_ids[c].reshape(-1)].add(
+            delta.reshape(-1).astype(x.dtype))
+        return xpad[:-1]
+
+    def smooth(self, A, x, b, iters=1, reverse=False):
+        del A
+        ncol = len(self.dof_ids)
+        for _ in range(iters):
+            for c in range(ncol):
+                x = self._color_update(x, b, c)
+            if self.symmetric:
+                for c in reversed(range(ncol)):
+                    x = self._color_update(x, b, c)
+        return x
+
+
+def build_local_schwarz(A_host: HostCSR, seeds, maxlvl=1, mmsize=200,
+                        symmetric=True, dtype=jnp.float32):
+    """LocalSchwarzSmoother from the host matrix (blocks = maxlvl-balls
+    around the seeds, exact dense inverses, per-color padded row data)."""
+    n = A_host.shape[0]
+    blocks = _bfs_blocks(A_host, np.asarray(seeds, dtype=np.int64),
+                         maxlvl, mmsize)
+    colors = _color_blocks(blocks, n)
+    ncol = int(colors.max()) + 1 if len(blocks) else 0
+    m = max((len(b) for b in blocks), default=1)
+    indptr, indices, data = A_host.indptr, A_host.indices, A_host.data
+    K = int(max((indptr[i + 1] - indptr[i] for blk in blocks
+                 for i in blk), default=1))
+    ids_c, inv_c, rc_c, rv_c = [], [], [], []
+    for c in range(ncol):
+        bids = [blocks[i] for i in np.flatnonzero(colors == c)]
+        nb = len(bids)
+        ids = np.full((nb, m), n, dtype=np.int32)
+        inv = np.zeros((nb, m, m))
+        rcols = np.full((nb, m, K), n, dtype=np.int32)
+        rvals = np.zeros((nb, m, K))
+        for k, blk in enumerate(bids):
+            sz = len(blk)
+            ids[k, :sz] = blk
+            inv[k, :sz, :sz] = np.linalg.inv(
+                A_host.extract_submatrix(blk, blk))
+            for t, i in enumerate(blk):
+                lo, hi = indptr[i], indptr[i + 1]
+                rcols[k, t, :hi - lo] = indices[lo:hi]
+                rvals[k, t, :hi - lo] = data[lo:hi]
+        ids_c.append(jnp.asarray(ids))
+        inv_c.append(jnp.asarray(inv, dtype=dtype))
+        rc_c.append(jnp.asarray(rcols))
+        rv_c.append(jnp.asarray(rvals, dtype=dtype))
+    return LocalSchwarzSmoother(ids_c, inv_c, rc_c, rv_c, symmetric)
