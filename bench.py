@@ -84,24 +84,44 @@ def main():
                   cycle_type=CYCLE, coarse_dof=COARSE)
     storage = {"bf16": jnp.bfloat16, "f32": None}[
         os.environ.get("TPUAMG_BENCH_STORAGE", "f32")]
-    prec, slots, nsl = setup_grid(A, (BENCH_N + 1, BENCH_N + 1), F=2,
-                                  params=prm, dtype=jnp.float32,
-                                  cheb_degree=CHEB,
-                                  storage_dtype=storage)
-    t_setup = time.time() - t0
-
     dtype = jnp.float32
-    Adia = grid_system(A, slots, dtype=dtype)
+    used_fused = False
+    if os.environ.get("TPUAMG_BENCH_FUSED", "1") != "0" and CYCLE == "v":
+        # whole-V-cycle fused Pallas kernel: ONE launch per
+        # preconditioner apply (amg/grid_fused.py)
+        from tpuamg.amg.grid_fused import (setup_grid_fused,
+                                           grid_system_fused,
+                                           fused_operator)
+        try:
+            vc, slots, nsl = setup_grid_fused(
+                A, (BENCH_N + 1, BENCH_N + 1), F=2, params=prm,
+                cheb_degree=CHEB, storage_dtype=storage)
+            t_setup = time.time() - t0
+            Adia = grid_system_fused(A, slots, nsl, dtype=dtype)
+            Mfn = fused_operator(vc)
+            nnz_cycle = vc.cycle_nnz()
+            used_fused = True
+        except ValueError as e:
+            print(f"# fused cycle unavailable ({e}); per-smoother path",
+                  file=sys.stderr)
+    if not used_fused:
+        prec, slots, nsl = setup_grid(A, (BENCH_N + 1, BENCH_N + 1), F=2,
+                                      params=prm, dtype=jnp.float32,
+                                      cheb_degree=CHEB,
+                                      storage_dtype=storage)
+        t_setup = time.time() - t0
+        Adia = grid_system(A, slots, dtype=dtype)
+        Mfn = as_operator(prec)
+        nnz_cycle = None
     bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
         jnp.asarray(b, dtype=dtype))
     Afn = dia_matvec_op(Adia)
-    Mfn = as_operator(prec)
 
     # warmup/compile (tiny-but-nonzero tol: run all ITERS iterations
     # unless f32 orthogonality breaks down, which the kernel guards)
     TOL = 1e-12
     t0 = time.time()
-    res = pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS)
+    res = pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS, chunk=ITERS)
     jax.block_until_ready(res.x)
     t_compile = time.time() - t0
 
@@ -109,12 +129,13 @@ def main():
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        res = pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS)
+        res = pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS, chunk=ITERS)
         jax.block_until_ready(res.x)
         best = min(best, time.time() - t0)
 
     iters_done = max(res.niters, 1)
-    nnz_iter = cycle_nnz_per_iteration(prec, A.nnz)
+    nnz_iter = (A.nnz + nnz_cycle) if nnz_cycle is not None else \
+        cycle_nnz_per_iteration(prec, A.nnz)
     value = nnz_iter * iters_done / best
     reduction = float(res.residuals[-1] / res.residuals[0])
 

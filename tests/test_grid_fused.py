@@ -125,6 +125,24 @@ def test_fused_pcg_solve_matches_grid_path():
     assert rel < 1e-5, rel
 
 
+def test_solve_system_fused_wiring():
+    """solve_system(grid=..., pallas='fused_interpret') routes through
+    the fused cycle and matches the per-smoother grid path."""
+    from tpuamg.problems.solve import solve_system
+    p = Params(2.0, 3.0, 1e6)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    mesh = get_mesh(16, 2)
+    A, b, sizes, _ = get_system(mesh, data, p)
+    prm = AMGParameters(cycle_type="v", maxit=1, coarse_dof=60,
+                        dtype="float32")
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm,
+                       tol=1e-5, maxiter=60, grid=((17, 17), 2),
+                       dtype=jnp.float32, pallas="fused_interpret")
+    assert rep.converged and rep.niters <= 25, rep.niters
+    rel = np.linalg.norm(b - A.matvec(rep.x)) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
+
+
 def test_dims_schedule_even_leading():
     sched = dims_schedule((513, 513), 2, max_levels=20, coarse_dof=2048)
     for lvl, d in enumerate(sched[:-1]):

@@ -359,18 +359,16 @@ def _mega_kernel(spec: _CycleSpec, *refs):
                     (Sn.rows_p - Sn.rows, LANES), jnp.float32)
         else:
             # ---- coarse dense solve: x_c[R] = b_flat @ T[R] ---------
+            # (single-buffered stream: the inverse is read once per
+            # cycle; saving the second 1 MB buffer matters more than
+            # hiding ~rows_c small DMA latencies)
             bflat = rc.reshape(1, spec.nc)
-            pltpu.make_async_copy(T_ref.at[0], bufT.at[0],
-                                  semT.at[0]).start()
             for R in range(spec.rows_c):
-                slot = R % 2
-                if R + 1 < spec.rows_c:
-                    pltpu.make_async_copy(T_ref.at[R + 1],
-                                          bufT.at[(R + 1) % 2],
-                                          semT.at[(R + 1) % 2]).start()
-                pltpu.make_async_copy(T_ref.at[R], bufT.at[slot],
-                                      semT.at[slot]).wait()
-                xc[R:R + 1, :] = _dot(bflat, bufT[slot])
+                cp = pltpu.make_async_copy(T_ref.at[R], bufT.at[0],
+                                           semT.at[0])
+                cp.start()
+                cp.wait()
+                xc[R:R + 1, :] = _dot(bflat, bufT[0])
 
     # ---- up sweep ---------------------------------------------------
     for lv in reversed(range(L)):
@@ -392,7 +390,7 @@ def _mega_call(spec: _CycleSpec, interpret, W0, W1, W0T, W1T, b2,
     f32 = jnp.float32
     S0 = spec.levels[0]
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    aspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    aspec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
         pltpu.VMEM((S0.rows_p + 2 * pt, LANES), f32),    # t0
         pltpu.VMEM((S0.rows_p, LANES), f32),             # d0
@@ -412,7 +410,7 @@ def _mega_call(spec: _CycleSpec, interpret, W0, W1, W0T, W1T, b2,
         pltpu.VMEM((2, ndC, rb, LANES), C_planes[0].dtype),    # bufC
         pltpu.VMEM((2, rb, LANES), b2.dtype),                  # bufB
         pltpu.VMEM((2, rb, LANES), M_planes[0].dtype),         # bufM
-        pltpu.VMEM((2, spec.nc, LANES), T.dtype),              # bufT
+        pltpu.VMEM((1, spec.nc, LANES), T.dtype),              # bufT
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -447,7 +445,7 @@ def fused_vmem_bytes(spec: _CycleSpec, itemA=4, itemC=4):
     total += 2 * ndA * spec.rb * LANES * itemA
     total += 2 * ndC * spec.rb * LANES * itemC
     total += 2 * 2 * spec.rb * LANES * f32
-    total += 2 * spec.nc * LANES * f32
+    total += spec.nc * LANES * f32
     total += 4 * LANES * LANES * f32
     return total
 
@@ -528,7 +526,8 @@ class FusedVCycle:
     contract.  Drop-in for MGPreconditioner.matvec on the solve path."""
 
     def __init__(self, spec, W0, W1, W0T, W1T, A_planes, C_planes,
-                 M_planes, T, mask_flat, interpret=False):
+                 M_planes, T, mask_flat, interpret=False,
+                 level_nnz=(), coarse_n=0):
         self.spec = spec
         self.W0, self.W1, self.W0T, self.W1T = W0, W1, W0T, W1T
         self.A_planes = tuple(A_planes)
@@ -537,17 +536,30 @@ class FusedVCycle:
         self.T = T
         self.mask_flat = mask_flat
         self.interpret = bool(interpret)
+        self.level_nnz = tuple(level_nnz)   # real nnz per level (bench)
+        self.coarse_n = int(coarse_n)       # real coarse dofs
 
     def tree_flatten(self):
         return ((self.W0, self.W1, self.W0T, self.W1T, self.A_planes,
                  self.C_planes, self.M_planes, self.T, self.mask_flat),
-                (self.spec, self.interpret))
+                (self.spec, self.interpret, self.level_nnz,
+                 self.coarse_n))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         (W0, W1, W0T, W1T, A_p, C_p, M_p, T, mask) = ch
         return cls(aux[0], W0, W1, W0T, W1T, A_p, C_p, M_p, T, mask,
-                   aux[1])
+                   aux[1], aux[2], aux[3])
+
+    def cycle_nnz(self):
+        """Stored nonzeros touched per cycle application — IDENTICAL
+        accounting to bench.cycle_nnz_per_iteration (one A-read per
+        smoother pass + one per residual), so fused/unfused nnz/s
+        numbers stay comparable."""
+        total = 0
+        for S, nnz in zip(self.spec.levels, self.level_nnz):
+            total += nnz * (S.pre + S.post + 1)
+        return total + self.coarse_n * self.coarse_n
 
     @property
     def nflat(self):
@@ -622,6 +634,7 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
     mask_flat0 = None
     ndA_max = 0
     packs = []
+    level_nnz = []
     lvl = 0
     while (lvl < len(sched) - 1
            and mask_np.sum() > params.coarse_dof):
@@ -659,6 +672,7 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
             pre=int(params.presmooth_iter),
             post=int(params.postsmooth_iter)))
         ndA_max = max(ndA_max, len(offsA))
+        level_nnz.append(int(A.nnz))
         packs.append((dataA, dataC, nflat, rows_p))
         mk = np.zeros(nflat)
         mk[kslots] = mask_np
@@ -736,7 +750,8 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
         jnp.asarray(np.ascontiguousarray(W0.T)),
         jnp.asarray(np.ascontiguousarray(W1.T)),
         A_dev, C_dev, M_planes, jnp.asarray(T, dtype=jnp.float32),
-        mask_flat0, interpret=interpret)
+        mask_flat0, interpret=interpret,
+        level_nnz=level_nnz, coarse_n=A.shape[0])
     if reference:
         ref = MGPreconditioner(
             tuple(ref_levels),

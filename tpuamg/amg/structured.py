@@ -438,10 +438,81 @@ def _estimate_lmax(A: HostCSR, blockinv, mask, s, iters=15, seed=0):
     return float(lam)
 
 
+def hem_tree_slots(A_host: HostCSR, coords, theta=0.1, max_rounds=30,
+                   coarse_units=4):
+    """Multilevel HEM matching tree -> slot permutation.
+
+    The Morton-window layout above coarsens geometrically, which loses
+    gamma-robustness on the 3D-1D systems (iterations grow ~9 -> ~23
+    over 10 decades of gamma: the coarse spaces stop resolving the
+    metric coupling).  This ordering makes EVERY window of the
+    structured hierarchy a heavy-edge aggregate instead:
+
+    round 0 pairs dofs by HEM on strength(A) — exactly the pairing the
+    Morton layout uses; each later round pairs the previous round's
+    units by HEM on the pair-Galerkin coarse operator (metric-aware at
+    every depth, like HAZmath's multilevel HEM,
+    /root/reference/src/amg_parameters.py:59), with leftover singletons
+    force-paired by Morton adjacency of their centroids so the tree
+    stays perfect (ghosts only from odd counts).  The slot order is the
+    DFS leaf order of the tree: a round-k unit occupies 2^k consecutive
+    slots, so the s=2 / s=4 windows of setup_structured ARE the HEM
+    aggregates — metric-aware coarsening at zero solve-path cost (the
+    permutation is applied outside the jitted loop, like the Morton
+    one).  Top-level units are ordered by centroid Morton code to keep
+    what locality remains (DIA offset width).
+
+    Returns (slots0, nsl): slots0[dof] = leaf slot; nsl = total leaves
+    (a power-of-two multiple of the top unit count)."""
+    from ..sparse import rap_unsmoothed
+    n0 = A_host.shape[0]
+    crd = np.asarray(coords, dtype=np.float64)
+    members = np.arange(n0, dtype=np.int64)[:, None]   # (nu, 2^k)
+    cent = crd.copy()
+    A = A_host
+    rounds = 0
+    while len(members) > coarse_units and rounds < max_rounds:
+        match = _hem_pairs(A, theta * (0.5 ** rounds))
+        left = np.flatnonzero(match < 0)
+        if len(left) > 1:
+            order = np.argsort(morton_code(cent[left]), kind="stable")
+            lo = left[order]
+            npair = len(lo) // 2
+            a, b = lo[:2 * npair:2], lo[1:2 * npair:2]
+            match[a] = b
+            match[b] = a
+        lead = (match < 0) | (np.arange(len(members)) < match)
+        units = np.flatnonzero(lead)
+        partner = match[units]
+        w = members.shape[1]
+        mem_new = np.full((len(units), 2 * w), -1, dtype=np.int64)
+        mem_new[:, :w] = members[units]
+        has_p = partner >= 0
+        mem_new[has_p, w:] = members[partner[has_p]]
+        cnt = (mem_new >= 0).sum(axis=1)
+        csum = np.where((mem_new >= 0)[:, :, None],
+                        crd[np.maximum(mem_new, 0)], 0.0).sum(axis=1)
+        cent = csum / cnt[:, None]
+        agg = np.empty(len(members), dtype=np.int64)
+        agg[units] = np.arange(len(units))
+        agg[partner[has_p]] = np.flatnonzero(has_p)
+        A = rap_unsmoothed(A, agg, len(units))
+        members = mem_new
+        rounds += 1
+    top = np.argsort(morton_code(cent), kind="stable")
+    leaves = members[top].reshape(-1)
+    nsl = len(leaves)
+    slots0 = np.empty(n0, dtype=np.int64)
+    real = leaves >= 0
+    slots0[leaves[real]] = np.flatnonzero(real)
+    return slots0, nsl
+
+
 def setup_structured(A_host: HostCSR, coords,
                      params: AMGParameters = AMGParameters(),
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
-                     pairs=None, pallas=None, idofs=None):
+                     pairs=None, pallas=None, idofs=None,
+                     order="morton"):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -453,6 +524,9 @@ def setup_structured(A_host: HostCSR, coords,
     a curve dof couples to every 3D dof in its circle) — when given and
     params.schwarz_levels > 0, level 0 additionally gets footprint
     Schwarz blocks seeded at these dofs (FootprintMetricSmoother).
+    order: "morton" (pair + Z-curve windows, geometric coarse levels) or
+    "hem" (multilevel HEM matching tree: every window is a heavy-edge
+    aggregate — metric-aware at every level; see hem_tree_slots).
 
     Returns (prec, slots0, n_slots0): solve in slot space —
         b_s = jnp.zeros(n_slots0).at[slots0].set(b)   # out-of-loop scatter
@@ -461,24 +535,27 @@ def setup_structured(A_host: HostCSR, coords,
     """
     n0 = A_host.shape[0]
     crd = np.asarray(coords, dtype=np.float64)
-    match = pairs if pairs is not None else _hem_pairs(
-        A_host, params.strong_coupled)
+    if order == "hem" and pairs is None:
+        slots0, nsl = hem_tree_slots(A_host, crd, params.strong_coupled)
+    else:
+        match = pairs if pairs is not None else _hem_pairs(
+            A_host, params.strong_coupled)
 
-    # enumerate units (pairs + singletons), sort by Morton of centroid
-    lead = (match < 0) | (np.arange(n0) < match)
-    units = np.flatnonzero(lead)
-    cent = crd[units].copy()
-    has_p = match[units] >= 0
-    cent[has_p] = 0.5 * (crd[units[has_p]] + crd[match[units[has_p]]])
-    order = np.argsort(morton_code(cent), kind="stable")
-    units = units[order]
-    # slot layout: unit u -> slots (2u, 2u+1)
-    slots0 = np.empty(n0, dtype=np.int64)
-    slots0[units] = 2 * np.arange(len(units))
-    partner = match[units]
-    paired = partner >= 0
-    slots0[partner[paired]] = 2 * np.flatnonzero(paired) + 1
-    nsl = 2 * len(units)
+        # enumerate units (pairs + singletons), sort by Morton of centroid
+        lead = (match < 0) | (np.arange(n0) < match)
+        units = np.flatnonzero(lead)
+        cent = crd[units].copy()
+        has_p = match[units] >= 0
+        cent[has_p] = 0.5 * (crd[units[has_p]] + crd[match[units[has_p]]])
+        uorder = np.argsort(morton_code(cent), kind="stable")
+        units = units[uorder]
+        # slot layout: unit u -> slots (2u, 2u+1)
+        slots0 = np.empty(n0, dtype=np.int64)
+        slots0[units] = 2 * np.arange(len(units))
+        partner = match[units]
+        paired = partner >= 0
+        slots0[partner[paired]] = 2 * np.flatnonzero(paired) + 1
+        nsl = 2 * len(units)
     mask = np.zeros(nsl)
     mask[slots0] = 1.0
 

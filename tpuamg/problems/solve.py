@@ -110,13 +110,16 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  params: AMGParameters = None, blocks=None,
                  tol=1e-8, maxiter=500, method="cg",
                  dtype=jnp.float64, callback=None,
-                 grid=None, structured_coords=None,
+                 grid=None, structured_coords=None, structured_order=None,
                  pallas=None, refine=0, inner_tol=1e-6) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
     problems.  structured_coords: optional (n, d) dof coordinates — use the
     general gather-free pair+Morton hierarchy (tpuamg.amg.structured),
     the TPU path for non-grid topologies (split meshes, interfaces).
+    structured_order: "morton" (default; geometric windows, narrow DIA)
+    or "hem" (multilevel heavy-edge-matching windows: fewer iterations
+    at extreme gamma, wider DIA bands — see amg/structured.hem_tree_slots).
     Default: the general algebraic ELL path.
 
     refine: mixed-precision iterative refinement (the TPU route to the
@@ -141,7 +144,9 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         t0 = time.time()
         prec, slots, nsl = setup_structured(A, structured_coords, prm,
                                             dtype=dtype, pallas=pallas,
-                                            idofs=idofs)
+                                            idofs=idofs,
+                                            order=structured_order
+                                            or "morton")
         t_setup = time.time() - t0
         Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype,
                                               pallas=pallas, idofs=idofs))
@@ -150,22 +155,48 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         M = as_operator(prec)
     elif grid is not None and precond not in ("diag",):
         from dataclasses import replace
-        from ..amg.grid import setup_grid, grid_system
+        from ..amg.grid import setup_grid, grid_system, resolve_pallas
         from ..sparse.dia import dia_matvec_op
         dims, F = grid
         prm = params or PRESETS["metric_schwarz"]
         wanted = np.dtype(dtype).name
         if prm.dtype != wanted:
             prm = replace(prm, dtype=wanted)
+        # fused whole-V-cycle kernel (one launch per preconditioner
+        # apply; amg/grid_fused.py): auto on TPU for f32 V-cycles, or
+        # forced with pallas="fused" / tested with "fused_interpret"
+        fused_ok = (prm.cycle_type == "v" and prm.maxit == 1
+                    and np.dtype(dtype) == np.float32
+                    and pallas in (None, "fused", "fused_interpret"))
+        if fused_ok and pallas is None:
+            fused_ok = resolve_pallas(None)[0]
         t0 = time.time()
-        prec, slots, nsl = setup_grid(A, dims, F=F, params=prm,
-                                      dtype=dtype, pallas=pallas)
-        t_setup = time.time() - t0
-        Aop = dia_matvec_op(grid_system(A, slots, dtype=dtype,
-                                        pallas=pallas))
+        prec = None
+        if fused_ok:
+            from ..amg.grid_fused import (setup_grid_fused,
+                                          grid_system_fused,
+                                          fused_operator)
+            interp = (pallas == "fused_interpret")
+            try:
+                vc, slots, nsl = setup_grid_fused(
+                    A, dims, F=F, params=prm, interpret=interp)
+                t_setup = time.time() - t0
+                Aop = dia_matvec_op(grid_system_fused(
+                    A, slots, nsl, dtype=dtype,
+                    pallas="interpret" if interp else pallas))
+                M = fused_operator(vc)
+                prec = vc
+            except ValueError:
+                prec = None
+        if prec is None:
+            prec, slots, nsl = setup_grid(A, dims, F=F, params=prm,
+                                          dtype=dtype, pallas=pallas)
+            t_setup = time.time() - t0
+            Aop = dia_matvec_op(grid_system(A, slots, dtype=dtype,
+                                            pallas=pallas))
+            M = as_operator(prec)
         bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
             jnp.asarray(b, dtype=dtype))
-        M = as_operator(prec)
     else:
         t0 = time.time()
         M = make_preconditioner(precond, A, sizes, idofs=idofs,

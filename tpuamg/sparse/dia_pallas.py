@@ -384,8 +384,8 @@ def _cheb_call(offsA, offsC, p, rb, degree, iters, theta, coefs, interpret,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # x (halo)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # b
-                pl.BlockSpec(memory_space=pltpu.ANY),    # A planes (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),    # C planes (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),    # A planes (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),    # C planes (HBM)
             ],
             out_specs=out_specs,
             out_shape=out_shape,
