@@ -109,29 +109,48 @@ def distributed_pcg_step(A_host: HostCSR, b, params: AMGParameters = None,
 # shard-local (device boundaries fall on even axis-0 offsets).
 # ---------------------------------------------------------------------------
 
-def pad_grid_problem(A_host: HostCSR, b, dims, F, mult):
-    """Append ghost vertices along grid axis 0 up to a multiple of `mult`.
-
-    A_host/b are field-major ([u1-block; u2-block]); vertex lex order is
-    axis-0-major, so new vertices append at the END of each field block —
-    original entries keep their (field, vertex) indices.  Ghost rows are
-    identity with mask 0 (excluded from smoothing and coarse sums).
-    Returns (A2, b2, dims2, mask2)."""
-    d0p = -(-dims[0] // mult) * mult
+def _vertex_embedding(dims, dims2):
+    """newv[v]: flat vertex index in dims2 of old vertex v (lex order,
+    last axis fastest)."""
     nv = int(np.prod(dims))
-    if d0p == dims[0]:
+    coords = []
+    rem = np.arange(nv)
+    for ax in reversed(range(len(dims))):
+        coords.append(rem % dims[ax])
+        rem //= dims[ax]
+    coords = coords[::-1]
+    newv = np.zeros(nv, dtype=np.int64)
+    for ax in range(len(dims)):
+        newv = newv * dims2[ax] + coords[ax]
+    return newv
+
+
+def pad_grid_problem(A_host: HostCSR, b, dims, F, mult):
+    """Append ghost vertices up to per-axis multiples.
+
+    mult: int (axis 0 only — mesh divisibility) or a per-axis tuple (the
+    sharded-Pallas layout additionally needs the flat length divisible by
+    128*8*ndev; dist/pallas_dist.plan_sharded).  A_host/b are field-major
+    ([u1-block; u2-block]).  Ghost rows are identity with mask 0
+    (excluded from smoothing and coarse sums).
+    Returns (A2, b2, dims2, mask2)."""
+    if np.isscalar(mult):
+        mults = (int(mult),) + (1,) * (len(dims) - 1)
+    else:
+        mults = tuple(int(m) for m in mult)
+    dims2 = tuple(-(-d // m) * m for d, m in zip(dims, mults))
+    nv = int(np.prod(dims))
+    if dims2 == tuple(dims):
         return A_host, np.asarray(b, dtype=np.float64), tuple(dims), \
             np.ones(nv * F)
-    dims2 = (d0p,) + tuple(dims[1:])
     nv2 = int(np.prod(dims2))
+    newv = _vertex_embedding(dims, dims2)
     r, c, v = A_host.to_coo()
-    f_r, v_r = r // nv, r % nv
-    f_c, v_c = c // nv, c % nv
-    r2 = f_r * nv2 + v_r
-    c2 = f_c * nv2 + v_c
+    r2 = (r // nv) * nv2 + newv[r % nv]
+    c2 = (c // nv) * nv2 + newv[c % nv]
     mask2 = np.zeros(nv2 * F)
     for f in range(F):
-        mask2[f * nv2:f * nv2 + nv] = 1.0
+        mask2[f * nv2 + newv] = 1.0
     ghosts = np.flatnonzero(mask2 == 0)
     A2 = HostCSR.from_coo(
         np.concatenate([r2, ghosts]), np.concatenate([c2, ghosts]),
@@ -139,7 +158,7 @@ def pad_grid_problem(A_host: HostCSR, b, dims, F, mult):
     b2 = np.zeros(nv2 * F)
     bb = np.asarray(b, dtype=np.float64)
     for f in range(F):
-        b2[f * nv2:f * nv2 + nv] = bb[f * nv:(f + 1) * nv]
+        b2[f * nv2 + newv] = bb[f * nv:(f + 1) * nv]
     return A2, b2, dims2, mask2
 
 
@@ -149,35 +168,120 @@ def unpad_grid_vector(x2, dims, dims2, F):
     nv2 = int(np.prod(dims2))
     if nv == nv2:
         return np.asarray(x2)
+    newv = _vertex_embedding(dims, dims2)
     x = np.empty(nv * F)
     x2 = np.asarray(x2)
     for f in range(F):
-        x[f * nv:(f + 1) * nv] = x2[f * nv2:f * nv2 + nv]
+        x[f * nv:(f + 1) * nv] = x2[f * nv2 + newv]
     return x
+
+
+def _dist_pallas_mults(dims, F, ndev, shard_depth):
+    """Per-axis padding multiples so every sharded-Pallas constraint
+    holds at level 0: axis 0 divisible by ndev*2^shard_depth (shard +
+    reshape locality) and flat length divisible by 128*8*ndev
+    (plan_sharded's 2-D kernel layout).  Greedy: doubles the multiple of
+    whichever axis grows the padded volume least."""
+    from ..sparse.dia_pallas import LANES
+    need = LANES * 8 * ndev
+    mults = [ndev * 2 ** shard_depth] + [1] * (len(dims) - 1)
+
+    def nflat(ms):
+        return int(np.prod([-(-d // m) * m
+                            for d, m in zip(dims, ms)])) * F
+
+    for _ in range(64):
+        if nflat(mults) % need == 0:
+            return tuple(mults)
+        best, bi = None, 0
+        for i in range(len(dims)):
+            trial = list(mults)
+            trial[i] *= 2
+            cost = nflat(trial) / nflat(mults)
+            if best is None or cost < best:
+                best, bi = cost, i
+        mults[bi] *= 2
+    raise ValueError("cannot satisfy sharded-Pallas divisibility")
+
+
+def _upgrade_pallas_levels(prec, mesh, n_shard_min, interpret):
+    """Swap sharded levels' XLA Chebyshev smoothers for shard_map-wrapped
+    fused Pallas smoothers (dist/pallas_dist.ShardedChebSmoother) where
+    the layout contract holds; per-level graceful fallback otherwise."""
+    from ..amg.grid import GridLevel, ChebyshevDiagSmoother
+    from ..amg.structured import BlockChebyshevSmoother
+    from ..sparse.dia import DIA
+    from ..amg.hierarchy import MGPreconditioner
+    from .pallas_dist import ShardedChebSmoother
+    levels = []
+    n_upgraded = 0
+    for L in prec.levels:
+        sm = L.smoother
+        nl = L.A.shape[0]
+        if (isinstance(L, GridLevel) and nl >= n_shard_min
+                and isinstance(sm, (BlockChebyshevSmoother,
+                                    ChebyshevDiagSmoother))):
+            try:
+                if isinstance(sm, BlockChebyshevSmoother):
+                    bi = np.asarray(sm.blockinv, dtype=np.float64)
+                else:
+                    bi = np.asarray(sm.invd,
+                                    dtype=np.float64).reshape(-1, 1, 1)
+                A_dia = DIA(L.A.offsets, jnp.asarray(np.asarray(L.A.data)),
+                            L.A.shape, L.A.nnz)
+                sm2 = ShardedChebSmoother.build(
+                    A_dia, bi, np.asarray(sm.mask, dtype=np.float64),
+                    sm.lmax, sm.lmin, sm.degree, mesh,
+                    interpret=interpret)
+                levels.append(GridLevel(L.A, sm2, L.mask, L.dims, L.F))
+                n_upgraded += 1
+                continue
+            except ValueError:
+                pass
+        levels.append(L)
+    prec2 = MGPreconditioner(
+        tuple(levels), prec.coarse_inv, cycle=prec.cycle,
+        maxit=prec.maxit, presmooth=prec.presmooth,
+        postsmooth=prec.postsmooth, amli_degree=prec.amli_degree,
+        max_w_work=prec.max_w_work)
+    return prec2, n_upgraded
 
 
 def distributed_grid_solve(A_host: HostCSR, b, dims, F=1,
                            params: AMGParameters = None, mesh=None,
                            tol=1e-8, maxiter=500, dtype=jnp.float32,
-                           shard_depth=3, cheb_degree=3):
+                           shard_depth=3, cheb_degree=3, pallas=None):
     """Row-sharded grid-hierarchy PCG over the device mesh.
 
     Levels 0..shard_depth are sharded (operators, masks, block inverses,
     iterates all P("p") on rows); deeper levels replicate.  Collectives
     (halo all-gathers for the DIA shifts, psums for dots) are inserted by
-    GSPMD from the shardings."""
-    from ..amg.grid import setup_grid, grid_system
+    GSPMD from the shardings.
+
+    pallas: None (auto: on for TPU) / True / False / "interpret" — use
+    shard_map-wrapped fused Pallas kernels with explicit ppermute halo
+    exchange for the outer SpMV and the sharded levels' smoother sweeps
+    (dist/pallas_dist; the distribution is exact, so iteration counts
+    match the XLA path).  Levels whose sizes miss the kernel layout
+    contract keep the XLA ops."""
+    from ..amg.grid import setup_grid, grid_system, resolve_pallas
     from ..sparse.dia import dia_matvec_op
     from .sharding import shard_preconditioner, _put
     from jax.sharding import PartitionSpec as P
     if mesh is None:
         mesh = device_mesh()
     ndev = mesh.devices.size
+    use_pallas, interpret = resolve_pallas(pallas)
     if params is None:
         params = AMGParameters(cycle_type="v",
                                dtype=np.dtype(dtype).name)
-    A2, b2, dims2, mask2 = pad_grid_problem(A_host, b, dims, F,
-                                            ndev * 2 ** shard_depth)
+    mults = ndev * 2 ** shard_depth
+    if use_pallas:
+        try:
+            mults = _dist_pallas_mults(dims, F, ndev, shard_depth)
+        except ValueError:
+            use_pallas = False
+    A2, b2, dims2, mask2 = pad_grid_problem(A_host, b, dims, F, mults)
     # replicate levels deeper than shard_depth
     n_sd = int(np.prod([-(-d // 2 ** shard_depth) for d in dims2])) * F
     prec, slots, nsl = setup_grid(A2, dims2, F=F, mask=mask2,
@@ -185,8 +289,17 @@ def distributed_grid_solve(A_host: HostCSR, b, dims, F=1,
                                   cheb_degree=cheb_degree, pallas=False)
     prec = shard_preconditioner(prec, mesh, replicate_below=n_sd)
     Adia = grid_system(A2, slots, dtype=dtype, pallas=False)
-    from .sharding import shard_dia
-    Adia = shard_dia(Adia, mesh)
+    if use_pallas:
+        prec, _ = _upgrade_pallas_levels(prec, mesh, n_sd, interpret)
+        from .pallas_dist import ShardedPDIA
+        try:
+            Adia = ShardedPDIA.from_dia(Adia, mesh, interpret=interpret)
+        except ValueError:
+            from .sharding import shard_dia
+            Adia = shard_dia(Adia, mesh)
+    else:
+        from .sharding import shard_dia
+        Adia = shard_dia(Adia, mesh)
     bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
         jnp.asarray(b2, dtype=dtype))
     bj = _put(bj, mesh, P("p"))
