@@ -176,31 +176,44 @@ def unpad_grid_vector(x2, dims, dims2, F):
     return x
 
 
-def _dist_pallas_mults(dims, F, ndev, shard_depth):
-    """Per-axis padding multiples so every sharded-Pallas constraint
-    holds at level 0: axis 0 divisible by ndev*2^shard_depth (shard +
-    reshape locality) and flat length divisible by 128*8*ndev
-    (plan_sharded's 2-D kernel layout).  Greedy: doubles the multiple of
+def _dist_pallas_mults(dims, F, ndev, shard_depth, pallas_levels=2):
+    """Per-axis padding multiples so the sharded-Pallas layout contract
+    holds at levels 0..pallas_levels-1: axis 0 divisible by
+    ndev*2^shard_depth (shard + reshape locality) and each level's flat
+    length divisible by 128*8*ndev (plan_sharded's 2-D kernel layout;
+    level l dims halve l times).  Greedy: doubles the multiple of
     whichever axis grows the padded volume least."""
     from ..sparse.dia_pallas import LANES
     need = LANES * 8 * ndev
     mults = [ndev * 2 ** shard_depth] + [1] * (len(dims) - 1)
 
+    def ok(ms, nlv):
+        d2 = [-(-d // m) * m for d, m in zip(dims, ms)]
+        for _ in range(nlv):
+            if (int(np.prod(d2)) * F) % need:
+                return False
+            d2 = [(d + 1) // 2 for d in d2]
+        return True
+
     def nflat(ms):
         return int(np.prod([-(-d // m) * m
                             for d, m in zip(dims, ms)])) * F
 
-    for _ in range(64):
-        if nflat(mults) % need == 0:
-            return tuple(mults)
-        best, bi = None, 0
-        for i in range(len(dims)):
-            trial = list(mults)
-            trial[i] *= 2
-            cost = nflat(trial) / nflat(mults)
-            if best is None or cost < best:
-                best, bi = cost, i
-        mults[bi] *= 2
+    for nlv in range(pallas_levels, 0, -1):   # relax depth if too costly
+        trial_mults = list(mults)
+        for _ in range(64):
+            if ok(trial_mults, nlv):
+                return tuple(trial_mults)
+            if nflat(trial_mults) > 4 * nflat(mults):
+                break    # padding blow-up: try fewer pallas levels
+            best, bi = None, 0
+            for i in range(len(dims)):
+                t = list(trial_mults)
+                t[i] *= 2
+                cost = nflat(t) / nflat(trial_mults)
+                if best is None or cost < best:
+                    best, bi = cost, i
+            trial_mults[bi] *= 2
     raise ValueError("cannot satisfy sharded-Pallas divisibility")
 
 
