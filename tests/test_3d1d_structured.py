@@ -61,3 +61,24 @@ def test_3d1d_structured_gamma_robust(gamma):
     assert rep.niters <= 40, (gamma, rep.niters)
     rel = np.linalg.norm(b - A.matvec(rep.x)) / np.linalg.norm(b)
     assert rel < 1e-7, (gamma, rel)
+
+
+def test_3d1d_hybrid_algebraic_tail():
+    """Structured fine levels + algebraic metric-AMG coarse tail
+    (setup_structured algebraic_below): gamma-flat coarse spaces at
+    structured-path speed.  Must converge at the hard sweep end and not
+    be worse than the pure window hierarchy."""
+    gamma = 1e8
+    A, b, sizes, coords = _system(gamma)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    prm = AMGParameters(cycle_type="v", dtype="float64",
+                        schwarz_levels=2)
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm, tol=1e-8,
+                       maxiter=150, structured_coords=coords,
+                       idofs=idofs, pallas=False,
+                       algebraic_below=A.shape[0] // 2)
+    assert rep.converged, rep.niters
+    assert rep.niters <= 40, rep.niters
+    rel = np.linalg.norm(b - A.matvec(rep.x)) / np.linalg.norm(b)
+    assert rel < 1e-7, rel

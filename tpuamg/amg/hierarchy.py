@@ -214,6 +214,12 @@ def _build_level_smoother(A: HostCSR, params: AMGParameters, level,
     if sm == "gs":
         return build_multicolor_gs(A, omega=1.0, symmetric=False,
                                    dtype=dtype)
+    if sm == "sor":      # HAZmath SOR = GS with relaxation weight
+        return build_multicolor_gs(A, omega=params.relaxation,
+                                   symmetric=False, dtype=dtype)
+    if sm == "ssor":
+        return build_multicolor_gs(A, omega=params.relaxation,
+                                   symmetric=True, dtype=dtype)
     # default sgs
     return build_multicolor_gs(A, omega=1.0, symmetric=True, dtype=dtype)
 

@@ -512,7 +512,7 @@ def setup_structured(A_host: HostCSR, coords,
                      params: AMGParameters = AMGParameters(),
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
                      pairs=None, pallas=None, idofs=None,
-                     order="morton"):
+                     order="morton", algebraic_below=0, fp_maxlvl=1):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -527,6 +527,13 @@ def setup_structured(A_host: HostCSR, coords,
     order: "morton" (pair + Z-curve windows, geometric coarse levels) or
     "hem" (multilevel HEM matching tree: every window is a heavy-edge
     aggregate — metric-aware at every level; see hem_tree_slots).
+    algebraic_below: real-dof threshold below which the remaining levels
+    are built by the ALGEBRAIC metric-AMG setup (amg/hierarchy.setup_amg:
+    HEM aggregation on the metric strength graph + interface Schwarz) —
+    the hybrid that recovers the algebraic path's gamma-flat coarse
+    spaces at structured-path speed: gather-based coarse levels are
+    cheap once small, while the fine (window/DIA) levels carry the
+    flops.  0 disables (pure window hierarchy).
 
     Returns (prec, slots0, n_slots0): solve in slot space —
         b_s = jnp.zeros(n_slots0).at[slots0].set(b)   # out-of-loop scatter
@@ -580,7 +587,7 @@ def setup_structured(A_host: HostCSR, coords,
     levels = []
     s = 2
     while (len(levels) < params.max_levels - 1
-           and mask.sum() > params.coarse_dof):
+           and mask.sum() > max(params.coarse_dof, algebraic_below)):
         A, mask = _pad_to_multiple(A, mask, s)
         ng = A.shape[0] // s
         blockinv = _slot_blocks(A, s)
@@ -593,7 +600,7 @@ def setup_structured(A_host: HostCSR, coords,
             # (See FootprintMetricSmoother for why not additive/PoU.)
             from ..smoothers.schwarz import build_local_schwarz
             fp_schwarz = build_local_schwarz(
-                A, seeds=fp_seeds, maxlvl=1,
+                A, seeds=fp_seeds, maxlvl=fp_maxlvl,
                 mmsize=max(params.schwarz_mmsize,
                            max(len(b) for b in fp_blocks) + 1),
                 symmetric=True, dtype=dtype)
@@ -656,6 +663,23 @@ def setup_structured(A_host: HostCSR, coords,
     for i, L in enumerate(levels):
         L.nc = levels[i + 1].A.shape[0] if i + 1 < len(levels) \
             else A.shape[0]
+    if algebraic_below and mask.sum() > params.coarse_dof:
+        # algebraic metric-AMG tail (see docstring): setup_amg keeps
+        # level-0 size == A.shape[0] (pad_multiple=1), so the last
+        # structured level's nc stitch above already matches.  Ghost
+        # slots are isolated identity rows — batched into inert
+        # aggregates by setup_amg._batch_isolated_rows.
+        from .hierarchy import setup_amg
+        tail_idofs = fp_seeds if fp_blocks is not None else None
+        tail = setup_amg(A, params, idofs=tail_idofs)
+        prec = MGPreconditioner(
+            tuple(levels) + tuple(tail.levels), tail.coarse_inv,
+            cycle=params.cycle_type, maxit=params.maxit,
+            presmooth=params.presmooth_iter,
+            postsmooth=params.postsmooth_iter,
+            amli_degree=params.amli_degree, max_w_work=params.max_w_work)
+        n_slots0 = levels[0].A.shape[0] if levels else A.shape[0]
+        return prec, slots0, n_slots0
     coarse_inv = np.linalg.inv(A.toarray()) if A.shape[0] else \
         np.zeros((0, 0))
     prec = MGPreconditioner(

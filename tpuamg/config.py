@@ -20,7 +20,10 @@ class AMGParameters:
     cycle_type: str = "w"             # v | w | amli | nl_amli | add
     max_levels: int = 20
     maxit: int = 1                    # cycles per preconditioner apply
-    smoother: str = "sgs"             # jacobi|l1_jacobi|gs|sgs|chebyshev
+    smoother: str = "sgs"    # jacobi|l1_jacobi|gs|sgs|sor|ssor|chebyshev
+    #                          (SOR/SSOR = relaxation-weighted multicolor
+    #                          GS — HAZmath smoother enums 9/14,
+    #                          /root/reference/src/amg_parameters.py:9)
     relaxation: float = 1.2
     presmooth_iter: int = 1
     postsmooth_iter: int = 1

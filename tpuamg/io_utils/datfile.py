@@ -19,8 +19,8 @@ _CYCLE = {"V": "v", "W": "w", "A": "amli", "NA": "nl_amli", "ADD": "add",
 _AMG_TYPE = {"UA": "ua", "SA": "sa", "MUA": "ua", "MSA": "sa",
              1: "ua", 2: "sa"}   # MUA/MSA = metric variants: same builder,
 #                                  metric behavior comes via idofs
-_SMOOTHER = {"JACOBI": "jacobi", "GS": "gs", "SGS": "sgs", "SOR": "gs",
-             "SSOR": "sgs", "L1DIAG": "l1_jacobi", "CHEBY": "chebyshev",
+_SMOOTHER = {"JACOBI": "jacobi", "GS": "gs", "SGS": "sgs", "SOR": "sor",
+             "SSOR": "ssor", "L1DIAG": "l1_jacobi", "CHEBY": "chebyshev",
              1: "jacobi", 2: "gs", 3: "sgs", 4: "chebyshev"}
 _KRYLOV = {1: "cg", 2: "minres", 3: "gmres"}
 _AGG = {1: "vmb", 2: "mis", 3: "mis", 4: "hem", 5: "hem",

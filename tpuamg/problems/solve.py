@@ -111,6 +111,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  tol=1e-8, maxiter=500, method="cg",
                  dtype=jnp.float64, callback=None,
                  grid=None, structured_coords=None, structured_order=None,
+                 algebraic_below=0,
                  pallas=None, refine=0, inner_tol=1e-6) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
@@ -120,6 +121,10 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     structured_order: "morton" (default; geometric windows, narrow DIA)
     or "hem" (multilevel heavy-edge-matching windows: fewer iterations
     at extreme gamma, wider DIA bands — see amg/structured.hem_tree_slots).
+    algebraic_below: real-dof threshold below which the structured
+    hierarchy switches to the algebraic metric-AMG tail (gamma-flat
+    coarse spaces; gathers are cheap at coarse sizes) — see
+    amg/structured.setup_structured.
     Default: the general algebraic ELL path.
 
     refine: mixed-precision iterative refinement (the TPU route to the
@@ -146,7 +151,8 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                                             dtype=dtype, pallas=pallas,
                                             idofs=idofs,
                                             order=structured_order
-                                            or "morton")
+                                            or "morton",
+                                            algebraic_below=algebraic_below)
         t_setup = time.time() - t0
         Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype,
                                               pallas=pallas, idofs=idofs))

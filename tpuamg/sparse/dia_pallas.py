@@ -63,6 +63,18 @@ def _plan(offsets, n):
     return padr, rb, nrows
 
 
+# Shift decomposition variant (read once at import/trace time):
+#   "slice" — misaligned sublane slice per diagonal (default)
+#   "roll"  — axis-0 pltpu.roll + aligned [0:rb) slice (the
+#             scripts/tpu_shift_variants.py microbench measured this
+#             ~20% faster per A-pass at rb=128: rotates run on the
+#             shift HW instead of misaligned-load shuffles)
+# A/B within one process won't retrace (not a jit static arg) — switch
+# via the TPUAMG_SHIFT env var across processes.
+import os as _os
+SHIFT_VARIANT = _os.environ.get("TPUAMG_SHIFT", "slice")
+
+
 def _shifted(xblk, rolls, lane, padr, rb, off):
     """rows [padr+q, padr+q+rb) of xblk, flat-shifted by off; static."""
     q, s = divmod(int(off), LANES)
@@ -72,6 +84,20 @@ def _shifted(xblk, rolls, lane, padr, rb, off):
         rolls[s] = pltpu.roll(xblk, jnp.int32(LANES - s), axis=1) \
             if s else xblk
     rs = rolls[s]
+    if SHIFT_VARIANT == "roll":
+        nrtot = rs.shape[0]
+
+        def row_aligned(rowoff):
+            key = (s, rowoff)
+            if key not in rolls:
+                rolls[key] = pltpu.roll(
+                    rs, jnp.int32((nrtot - rowoff) % nrtot), axis=0)
+            return jax.lax.slice_in_dim(rolls[key], 0, rb, axis=0)
+
+        a = row_aligned(padr + q)
+        if s == 0:
+            return a
+        return jnp.where(lane < LANES - s, a, row_aligned(padr + q + 1))
     a = jax.lax.slice_in_dim(rs, padr + q, padr + q + rb, axis=0)
     if s == 0:
         return a
