@@ -36,6 +36,42 @@ def test_aggregation_coarsens(poisson):
     assert (agg >= 0).all() and (agg2 >= 0).all()
 
 
+def test_aggregation_full_menu(poisson):
+    """All five HAZmath aggregation_type options coarsen and cover
+    (/root/reference/src/amg_parameters.py:16 enum menu)."""
+    from tpuamg.amg.aggregation import AGGREGATORS
+    A, _ = poisson
+    S = strength_graph(A, 0.1)
+    n = A.shape[0]
+    for name, fn in AGGREGATORS.items():
+        agg, nagg = fn(S)
+        assert (agg >= 0).all(), name
+        assert agg.max() == nagg - 1, name
+        assert nagg < 0.8 * n, (name, nagg, n)
+    # MWM converges the matching: no worse than the fixed-round HEM
+    _, n_hem = hem_aggregation(S)
+    from tpuamg.amg.aggregation import mwm_aggregation, hec_aggregation
+    _, n_mwm = mwm_aggregation(S)
+    assert n_mwm <= n_hem
+    # HEC clusters exceed pairs on a mesh graph: coarsens at least as hard
+    _, n_hec = hec_aggregation(S)
+    assert n_hec <= n_mwm
+
+
+@pytest.mark.parametrize("aggtype", ["mwm", "hec"])
+def test_amg_pcg_new_aggregators(poisson, aggtype):
+    A, b = poisson
+    params = AMGParameters(aggregation_type=aggtype, cycle_type="v",
+                           dtype="float64")
+    prec = setup_amg(A, params)
+    Ae = ELL.from_host(A, dtype=jnp.float64)
+    res = pcg(matvec_op(Ae), b, M=as_operator(prec), tol=1e-8, maxiter=100)
+    assert res.converged and res.niters < 60
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert rel < 1e-6
+
+
 @pytest.mark.parametrize("aggtype,cycle", [("vmb", "v"), ("hem", "w")])
 def test_amg_pcg_poisson(poisson, aggtype, cycle):
     A, b = poisson
@@ -125,6 +161,25 @@ def test_cg_lanczos_cond_estimate():
     est = res.eigenvalue_estimates()
     assert abs(est.max() - 50.0) / 50.0 < 0.05
     assert abs(est.min() - 1.0) < 0.2
+
+
+def test_cg_stop_types(poisson):
+    """HAZmath linear_stop_type menu (input_metric.dat:54): each selector
+    converges and actually enforces its own criterion."""
+    A, b = poisson
+    Ae = ELL.from_host(A, dtype=jnp.float64)
+    nb = np.linalg.norm(b)
+    for st in (1, 2, 3):
+        res = pcg(matvec_op(Ae), b, tol=1e-8, maxiter=400, stop_type=st)
+        assert res.converged, st
+        x = np.asarray(res.x)
+        rtrue = np.linalg.norm(b - A.matvec(x))
+        if st == 1:
+            assert rtrue <= 1.01e-8 * nb
+        elif st == 3:
+            assert rtrue <= 1.01e-8 * np.linalg.norm(x)
+        else:
+            assert res.residuals[-1] <= 1e-8 * res.residuals[0]
 
 
 def test_minres_eigenvalue_estimates(poisson):

@@ -155,5 +155,81 @@ def mis_aggregation(S: HostCSR, max_aggregation=100):
     return _compress_ids(agg)
 
 
+def mwm_aggregation(S: HostCSR, max_aggregation=100, rounds=64):
+    """Greedy maximum-weight matching (the MWM option,
+    /root/reference/src/amg_parameters.py:16 enum menu).
+
+    Sequential greedy-by-weight matching is equivalent to repeatedly taking
+    all *locally dominant* edges (heaviest at both endpoints) when edge
+    weights carry a strict total order — so this is the HEM hand-shake
+    iterated to convergence with a deterministic tie order, which yields the
+    classic 1/2-approximation of the maximum-weight matching rather than
+    HEM's fixed-round heuristic subset."""
+    return hem_aggregation(S, rounds=rounds)
+
+
+def hec_aggregation(S: HostCSR, max_aggregation=100):
+    """Heavy-edge coarsening (the HEC option): every node joins the cluster
+    of its heaviest strong neighbor (clusters may exceed pairs).
+
+    Vectorized as the connected components of the heaviest-neighbor pointer
+    graph.  With a strict total edge order the only cycles in that
+    functional graph are mutual 2-cycles (following pointers, edge weights
+    strictly increase otherwise), so components resolve by breaking
+    2-cycles to the smaller index and pointer-doubling.  Oversized
+    components are split in pointer-chase order to respect
+    ``max_aggregation``."""
+    n = S.shape[0]
+    indices = S.indices.astype(np.int64)
+    data = S.data
+    rows = S.rows_expanded()
+    if len(rows) == 0:
+        return _compress_ids(np.arange(n, dtype=np.int64))
+    # strict total order on edges: weight, then symmetric pseudo-random key
+    lo = np.minimum(rows, indices)
+    hi = np.maximum(rows, indices)
+    tie = ((lo * np.int64(2654435761) + hi * np.int64(40503))
+           % np.int64(2 ** 31)).astype(np.float64)
+    order = np.lexsort((tie, data, rows))
+    rr, cc = rows[order], indices[order]
+    last = np.flatnonzero(np.r_[rr[1:] != rr[:-1], True])
+    parent = np.arange(n, dtype=np.int64)       # isolated nodes: singletons
+    parent[rr[last]] = cc[last]
+    # break mutual 2-cycles to the smaller index as the root
+    mutual = parent[parent] == np.arange(n)
+    root2 = mutual & (np.arange(n) < parent)
+    parent[np.flatnonzero(root2)] = np.flatnonzero(root2)
+    # pointer doubling to the component root
+    for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
+        parent = parent[parent]
+    if np.any(parent[parent] != parent):   # tie-key collision made a >2 cycle
+        root = np.arange(n, dtype=np.int64)
+
+        def find(i):
+            while root[i] != i:
+                root[i] = root[root[i]]
+                i = root[i]
+            return i
+        for i, j in zip(rr[last], cc[last]):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                root[max(ri, rj)] = min(ri, rj)
+        parent = np.array([find(i) for i in range(n)], dtype=np.int64)
+    agg, _ = _compress_ids(parent)
+    # split components above max_aggregation (HAZmath caps aggregate size)
+    if max_aggregation and max_aggregation > 0:
+        orderc = np.argsort(agg, kind="stable")
+        sortedagg = agg[orderc]
+        newblock = np.r_[True, sortedagg[1:] != sortedagg[:-1]]
+        pos = np.arange(n) - np.maximum.accumulate(
+            np.where(newblock, np.arange(n), 0))
+        sub = pos // max_aggregation
+        split = np.empty(n, dtype=np.int64)
+        split[orderc] = sortedagg * (pos.max() // max_aggregation + 1) + sub
+        agg = split
+    return _compress_ids(agg)
+
+
 AGGREGATORS = {"vmb": vmb_aggregation, "hem": hem_aggregation,
-               "mis": mis_aggregation}
+               "mis": mis_aggregation, "mwm": mwm_aggregation,
+               "hec": hec_aggregation}

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..sparse import HostCSR, ELL, rap_unsmoothed
 from ..config import AMGParameters
 from .strength import strength_graph
-from .aggregation import AGGREGATORS, hem_aggregation
+from .aggregation import AGGREGATORS, hem_aggregation, mwm_aggregation
 from .prolongation import tentative_prolongator, smoothed_prolongator
 from ..smoothers import (build_jacobi, build_l1_jacobi, build_multicolor_gs,
                          build_chebyshev, build_schwarz, MetricSmoother,
@@ -268,14 +268,17 @@ def setup_amg(A_host: HostCSR, params: AMGParameters = AMGParameters(),
         # cure HAZmath applies on coarse grids.
         theta = params.strong_coupled * (0.5 ** len(levels))
         S = strength_graph(A, theta)
-        if params.aggregation_type == "hem":
-            agg, nagg = hem_aggregation(S)
+        if params.aggregation_type in ("hem", "mwm"):
+            # pairwise matchings coarsen by <=2x per pass; compose passes
+            pair = (hem_aggregation if params.aggregation_type == "hem"
+                    else mwm_aggregation)
+            agg, nagg = pair(S)
             for _ in range(params.pairwise_passes - 1):
                 if nagg <= params.coarse_dof:
                     break
                 Ac_tmp = rap_unsmoothed(A, agg, nagg)
                 S2 = strength_graph(Ac_tmp, theta)
-                agg2, nagg2 = hem_aggregation(S2)
+                agg2, nagg2 = pair(S2)
                 agg = agg2[agg]
                 nagg = nagg2
         else:

@@ -30,7 +30,7 @@ class AMGParameters:
     coarse_dof: int = 100
     coarse_solver: str = "dense"      # dense LU == UMFPACK role (32)
     coarse_scaling: bool = True
-    aggregation_type: str = "vmb"     # vmb | hem | mis
+    aggregation_type: str = "vmb"     # vmb | hem | mis | mwm | hec
     strong_coupled: float = 0.1
     max_aggregation: int = 100
     amli_degree: int = 3
@@ -90,4 +90,6 @@ class SolverConfig:
     tolerance: float = 1e-8
     maxiter: int = 500
     restart: int = 30                 # gmres only
-    stop_type: str = "rel_precond"    # rel_precond | rel_res
+    # HAZmath linear_stop_type codes (input_metric.dat:54):
+    # 1 ||r||/||b||, 2 ||r||_B/||r0||_B (preconditioned), 3 ||r||/||x||
+    stop_type: int = 2

@@ -23,8 +23,11 @@ _SMOOTHER = {"JACOBI": "jacobi", "GS": "gs", "SGS": "sgs", "SOR": "sor",
              "SSOR": "ssor", "L1DIAG": "l1_jacobi", "CHEBY": "chebyshev",
              1: "jacobi", 2: "gs", 3: "sgs", 4: "chebyshev"}
 _KRYLOV = {1: "cg", 2: "minres", 3: "gmres"}
-_AGG = {1: "vmb", 2: "mis", 3: "mis", 4: "hem", 5: "hem",
-        "VMB": "vmb", "MIS": "mis", "HEM": "hem", "HEC": "hem"}
+# numeric codes follow HAZmath's enum ("1 VMB ; 4 HEC",
+# /root/reference/src/input_metric.dat:89); symbolic names also accepted
+_AGG = {1: "vmb", 2: "mis", 3: "mwm", 4: "hec", 5: "hem",
+        "VMB": "vmb", "MIS": "mis", "MWM": "mwm", "HEM": "hem",
+        "HEC": "hec"}
 
 
 def parse_dat_file(path):
@@ -76,5 +79,6 @@ def dat_to_amg_parameters(path):
         method=_KRYLOV.get(raw.get("linear_itsolver_type", 1), "cg"),
         tolerance=raw.get("linear_itsolver_tol", 1e-6),
         maxiter=raw.get("linear_itsolver_maxit", 1000),
+        stop_type=raw.get("linear_stop_type", 1),
     )
     return amg, sol

@@ -102,7 +102,7 @@ def _pcg_scan_chunk(A, M, x, r, z, p, rz, chunk):
         beta = rz_new / (rz + tiny)
         p = z + beta * p
         out = jnp.stack([alpha, beta, jnp.sqrt(jnp.abs(rz_new)),
-                         jnp.linalg.norm(r)])
+                         jnp.linalg.norm(r), jnp.linalg.norm(x)])
         return (x, r, z, p, rz_new), out
 
     state, outs = jax.lax.scan(step, (x, r, z, p, rz), None, length=chunk)
@@ -110,12 +110,19 @@ def _pcg_scan_chunk(A, M, x, r, z, p, rz, chunk):
 
 
 def pcg(A, b, M=None, x0=None, tol=1e-8, maxiter=500, callback=None,
-        chunk=32):
+        chunk=32, stop_type=2):
     """Solve A x = b with PCG; returns CGResult.
 
-    A, M: callables (matvec) or objects with .matvec.  Relative tolerance on
-    the preconditioned residual norm, matching the reference's ConjGrad use
-    (/root/reference/src/bidomain_2d.py:205).
+    A, M: callables (matvec) or objects with .matvec.
+
+    stop_type selects the convergence test, mirroring HAZmath's
+    ``linear_stop_type`` (/root/reference/src/input_metric.dat:54):
+      1 = ||r||_2 / ||b||_2        (STOP_REL_RES)
+      2 = ||r||_B / ||r0||_B       (STOP_REL_PRECRES; preconditioned norm —
+          equals HAZmath's sqrt(r'Br)/sqrt(b'Bb) for x0=0, and matches the
+          reference's cbc.block ConjGrad use,
+          /root/reference/src/bidomain_2d.py:205) — the default
+      3 = ||r||_2 / ||x||_2        (STOP_MOD_REL_RES)
 
     Runs in fixed-size jitted chunks with host-side convergence checks in
     between (remote-TPU-friendly; see _pcg_chunk).
@@ -139,16 +146,29 @@ def pcg(A, b, M=None, x0=None, tol=1e-8, maxiter=500, callback=None,
     res0 = float(np.sqrt(max(float(rz), 0.0)))
     res_hist = [res0]
     true_hist = [float(rnorm0)]
+    norm_b = float(jnp.linalg.norm(b)) if stop_type == 1 else 0.0
     alphas, betas = [], []
     k = 0
-    converged = res0 == 0.0
+    if stop_type == 1:
+        converged = float(rnorm0) <= tol * norm_b or norm_b == 0.0
+    else:
+        converged = res0 == 0.0
+
+    def _crossed(o):
+        """Per-iteration convergence indicator for the selected test."""
+        if stop_type == 1:
+            return o[:, 3] <= tol * norm_b
+        if stop_type == 3:
+            return o[:, 3] <= tol * np.maximum(o[:, 4], _TINY)
+        return o[:, 2] <= tol * res0
+
     while not converged and k < maxiter:
         (x, r, z, p, rz), outs = _pcg_scan_chunk(Afn, Mfn, x, r, z, p, rz,
                                                  chunk)
-        o = np.asarray(outs)          # (chunk, 4): alpha beta res true
+        o = np.asarray(outs)       # (chunk, 5): alpha beta res true xnorm
         # find the first in-chunk convergence crossing and truncate there
-        hit = np.flatnonzero((o[:, 2] <= tol * res0)
-                             | ~np.isfinite(o[:, 2]))
+        cross = _crossed(o)
+        hit = np.flatnonzero(cross | ~np.isfinite(o[:, 2]))
         take = int(hit[0]) + 1 if len(hit) else chunk
         take = min(take, maxiter - k)
         alphas.extend(o[:take, 0].tolist())
@@ -157,7 +177,7 @@ def pcg(A, b, M=None, x0=None, tol=1e-8, maxiter=500, callback=None,
         true_hist.extend(o[:take, 3].tolist())
         k += take
         converged = len(hit) > 0 and np.isfinite(o[hit[0], 2]) \
-            and o[hit[0], 2] <= tol * res0
+            and bool(cross[hit[0]])
         if len(hit) and not converged:
             break     # breakdown (non-finite residual): stop, report as-is
     res = np.asarray(res_hist)

@@ -58,6 +58,7 @@ def main(argv=None):
                        params=amg_params, tol=solver_cfg.tolerance,
                        maxiter=solver_cfg.maxiter,
                        method=solver_cfg.method,
+                       stop_type=solver_cfg.stop_type,
                        structured_coords=coords if use_structured
                        else None)
     print_red(f"niters={rep.niters} converged={rep.converged} "

@@ -108,7 +108,7 @@ def make_preconditioner(precond: str, A: HostCSR, sizes, idofs=None,
 
 def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  params: AMGParameters = None, blocks=None,
-                 tol=1e-8, maxiter=500, method="cg",
+                 tol=1e-8, maxiter=500, method="cg", stop_type=2,
                  dtype=jnp.float64, callback=None,
                  grid=None, structured_coords=None, structured_order=None,
                  algebraic_below=0,
@@ -215,7 +215,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     def _run(bdev, ktol, miter):
         if method == "cg":
             r = pcg(Aop, bdev, M=M, tol=ktol, maxiter=miter,
-                    callback=callback)
+                    callback=callback, stop_type=stop_type)
         elif method == "minres":
             r = minres(Aop, bdev, M=M, tol=ktol, maxiter=miter)
         else:
