@@ -24,6 +24,8 @@ ITERS = int(os.environ.get("TPUAMG_BENCH_ITERS", "50"))
 CYCLE = os.environ.get("TPUAMG_BENCH_CYCLE", "v")
 CHEB = int(os.environ.get("TPUAMG_BENCH_CHEB", "4"))
 COARSE = int(os.environ.get("TPUAMG_BENCH_COARSE", "2048"))
+RB = int(os.environ.get("TPUAMG_BENCH_RB", "64"))
+NBUF = int(os.environ.get("TPUAMG_BENCH_NBUF", "4"))
 GAMMA = 1e6
 # serial-CPU throughput of this same workload on the dev host (2-vCPU),
 # measured with JAX_PLATFORMS=cpu on the identical n=512 V-cycle config —
@@ -98,7 +100,8 @@ def main():
         try:
             vc, slots, nsl = setup_grid_fused(
                 A, (BENCH_N + 1, BENCH_N + 1), F=2, params=prm,
-                cheb_degree=CHEB, storage_dtype=storage)
+                cheb_degree=CHEB, storage_dtype=storage, rb=RB,
+                nbuf=NBUF)
             t_setup = time.time() - t0
             Adia = grid_system_fused(A, slots, nsl, dtype=dtype)
             Mfn = fused_operator(vc)

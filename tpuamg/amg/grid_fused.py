@@ -168,6 +168,7 @@ class _CycleSpec:
     nc: int              # coarse flat size = rows_c * 128
     rb: int
     padt: int            # t halo rows (C offsets are intra-node: small)
+    nbuf: int = 2        # DMA pipeline depth (in-flight plane blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -212,19 +213,22 @@ def _mega_kernel(spec: _CycleSpec, *refs):
 
         Fully unrolled over the static block count (straight-line code,
         32-bit-safe — see sparse/dia_pallas.py).  When stream_b, the
-        fine-level b planes stream alongside via bufB/semB."""
+        fine-level b planes stream alongside via bufB/semB.  The DMA
+        pipeline keeps spec.nbuf plane blocks in flight: per-block
+        compute is tiny, so the pass floor is the DMA round-trip latency
+        unless several transfers overlap (docs/PERF_NOTES.md)."""
         nblocks = spec.levels[lv].nblocks
+        D = spec.nbuf
 
         def start(slot, blk):
             dma(planes, buf, sem, slot, blk).start()
             if stream_b:
                 dma(bs[0], bufB, semB, slot, blk).start()
 
-        start(0, 0)
+        for pre in range(min(D, nblocks)):
+            start(pre, pre)
         for blk in range(nblocks):
-            slot = blk % 2
-            if blk + 1 < nblocks:
-                start((blk + 1) % 2, blk + 1)
+            slot = blk % D
             dma(planes, buf, sem, slot, blk).wait()
             if stream_b:
                 dma(bs[0], bufB, semB, slot, blk).wait()
@@ -237,6 +241,9 @@ def _mega_kernel(spec: _CycleSpec, *refs):
                                                 rb, off)
                 acc = term if acc is None else acc + term
             write(blk, slot, base, acc)
+            if blk + D < nblocks:
+                # slot just consumed — safe to refill D blocks ahead
+                start(slot, blk + D)
 
     def get_b(lv, slot, base):
         if lv == 0:
@@ -332,16 +339,18 @@ def _mega_kernel(spec: _CycleSpec, *refs):
             t[pt + S.rows:pt + S.rows_p, :] = jnp.zeros(
                 (S.rows_p - S.rows, LANES), jnp.float32)
         x, p = xs[lv], S.padr
-        dma(M_refs[lv], bufM, semM, 0, 0).start()
+        D = spec.nbuf
+        for pre in range(min(D, S.nblocks)):
+            dma(M_refs[lv], bufM, semM, pre, pre).start()
         for blk in range(S.nblocks):
-            slot = blk % 2
-            if blk + 1 < S.nblocks:
-                dma(M_refs[lv], bufM, semM, (blk + 1) % 2, blk + 1).start()
+            slot = blk % D
             dma(M_refs[lv], bufM, semM, slot, blk).wait()
             base = blk * rb
             x[p + base:p + base + rb, :] = (
                 x[p + base:p + base + rb, :]
                 + t[pt + base:pt + base + rb, :] * bufM[slot])
+            if blk + D < S.nblocks:
+                dma(M_refs[lv], bufM, semM, slot, blk + D).start()
 
     # ---- down sweep -------------------------------------------------
     for lv in range(L):
@@ -404,18 +413,19 @@ def _mega_call(spec: _CycleSpec, interpret, W0, W1, W0T, W1T, b2,
         ]
     ndA = A_planes[0].shape[1]
     ndC = C_planes[0].shape[1]
+    D = spec.nbuf
     scratch += [
         pltpu.VMEM((max(spec.rows_c, 8), LANES), f32),         # xc
-        pltpu.VMEM((2, ndA, rb, LANES), A_planes[0].dtype),    # bufA
-        pltpu.VMEM((2, ndC, rb, LANES), C_planes[0].dtype),    # bufC
-        pltpu.VMEM((2, rb, LANES), b2.dtype),                  # bufB
-        pltpu.VMEM((2, rb, LANES), M_planes[0].dtype),         # bufM
+        pltpu.VMEM((D, ndA, rb, LANES), A_planes[0].dtype),    # bufA
+        pltpu.VMEM((D, ndC, rb, LANES), C_planes[0].dtype),    # bufC
+        pltpu.VMEM((D, rb, LANES), b2.dtype),                  # bufB
+        pltpu.VMEM((D, rb, LANES), M_planes[0].dtype),         # bufM
         pltpu.VMEM((1, spec.nc, LANES), T.dtype),              # bufT
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((D,)),
+        pltpu.SemaphoreType.DMA((D,)),
+        pltpu.SemaphoreType.DMA((D,)),
+        pltpu.SemaphoreType.DMA((D,)),
+        pltpu.SemaphoreType.DMA((1,)),
     ]
     with jax.enable_x64(False):
         out = pl.pallas_call(
@@ -442,9 +452,10 @@ def fused_vmem_bytes(spec: _CycleSpec, itemA=4, itemC=4):
     total += max(spec.rows_c, 8) * LANES * f32
     ndA = len(spec.levels[0].offsA)
     ndC = len(spec.levels[0].offsC)
-    total += 2 * ndA * spec.rb * LANES * itemA
-    total += 2 * ndC * spec.rb * LANES * itemC
-    total += 2 * 2 * spec.rb * LANES * f32
+    D = spec.nbuf
+    total += D * ndA * spec.rb * LANES * itemA
+    total += D * ndC * spec.rb * LANES * itemC
+    total += 2 * D * spec.rb * LANES * f32
     total += spec.nc * LANES * f32
     total += 4 * LANES * LANES * f32
     return total
@@ -585,7 +596,7 @@ def _plan_padr(offsets):
 def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
                      params: AMGParameters = AMGParameters(),
                      cheb_degree=3, cheb_ratio=8.0, storage_dtype=None,
-                     rb=64, interpret=False, reference=False):
+                     rb=64, nbuf=4, interpret=False, reference=False):
     """Build the fused whole-V-cycle hierarchy.
 
     A_host in field-major order ([u1-block; u2-block]) on `dims` grid
@@ -707,7 +718,7 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
     rows_c = int(np.prod(dims_c[:-1])) * Kc
     nc = rows_c * LANES
     spec = _CycleSpec(levels=tuple(levels_spec), Kc=Kc, rows_c=rows_c,
-                      nc=nc, rb=rb, padt=4)
+                      nc=nc, rb=rb, padt=4, nbuf=int(nbuf))
     itemA = jnp.dtype(sdtype).itemsize
     if not interpret and fused_vmem_bytes(spec, itemA, itemA) \
             > VMEM_BUDGET:
@@ -734,7 +745,7 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
                        offsC=S.offsC, theta=S.theta, coefs=S.coefs,
                        degree=S.degree, pre=S.pre, post=S.post)
             for S in levels_spec),
-        Kc=Kc, rows_c=rows_c, nc=nc, rb=rb, padt=4)
+        Kc=Kc, rows_c=rows_c, nc=nc, rb=rb, padt=4, nbuf=int(nbuf))
 
     # coarse dense inverse, embedded into the kernel-flat coarse layout
     kslots_c = _kernel_slots(dims_c, F, Kc)

@@ -64,15 +64,15 @@ def _plan(offsets, n):
 
 
 # Shift decomposition variant (read once at import/trace time):
-#   "slice" — misaligned sublane slice per diagonal (default)
-#   "roll"  — axis-0 pltpu.roll + aligned [0:rb) slice (the
-#             scripts/tpu_shift_variants.py microbench measured this
-#             ~20% faster per A-pass at rb=128: rotates run on the
+#   "roll"  — axis-0 pltpu.roll + aligned [0:rb) slice (default: measured
+#             ~8% faster end-to-end mega-kernel PCG and ~20% faster
+#             standalone at rb=128 than "slice"; rotates run on the
 #             shift HW instead of misaligned-load shuffles)
+#   "slice" — misaligned sublane slice per diagonal
 # A/B within one process won't retrace (not a jit static arg) — switch
 # via the TPUAMG_SHIFT env var across processes.
 import os as _os
-SHIFT_VARIANT = _os.environ.get("TPUAMG_SHIFT", "slice")
+SHIFT_VARIANT = _os.environ.get("TPUAMG_SHIFT", "roll")
 
 
 def _shifted(xblk, rolls, lane, padr, rb, off):
