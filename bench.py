@@ -91,7 +91,25 @@ def main():
         os.environ.get("TPUAMG_BENCH_STORAGE", "bf16")]
     dtype = jnp.float32
     used_fused = False
-    if os.environ.get("TPUAMG_BENCH_FUSED", "1") != "0" and CYCLE == "v":
+    fp = None
+    if os.environ.get("TPUAMG_BENCH_FUSED", "1") != "0" and CYCLE == "v" \
+            and os.environ.get("TPUAMG_BENCH_CHUNKED", "0") == "1":
+        # whole-chunk fused PCG: ITERS complete PCG iterations (outer
+        # SpMV + dots + updates + V-cycle) in ONE kernel launch
+        from tpuamg.amg.grid_fused import setup_grid_fused_pcg, pcg_fused
+        try:
+            fp, slots, nsl = setup_grid_fused_pcg(
+                A, (BENCH_N + 1, BENCH_N + 1), F=2, params=prm,
+                cheb_degree=CHEB, storage_dtype=storage, rb=RB,
+                nbuf=NBUF)
+            t_setup = time.time() - t0
+            nnz_cycle = fp.vc.cycle_nnz()
+            used_fused = True
+        except ValueError as e:
+            print(f"# fused PCG unavailable ({e}); per-apply path",
+                  file=sys.stderr)
+    if not used_fused and os.environ.get("TPUAMG_BENCH_FUSED", "1") \
+            != "0" and CYCLE == "v":
         # whole-V-cycle fused Pallas kernel: ONE launch per
         # preconditioner apply (amg/grid_fused.py)
         from tpuamg.amg.grid_fused import (setup_grid_fused,
@@ -121,13 +139,21 @@ def main():
         nnz_cycle = None
     bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
         jnp.asarray(b, dtype=dtype))
-    Afn = dia_matvec_op(Adia)
+    if fp is not None:
+        def run():
+            return pcg_fused(fp, bj, tol=TOL, maxiter=ITERS, chunk=ITERS)
+    else:
+        Afn = dia_matvec_op(Adia)
+
+        def run():
+            return pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS,
+                       chunk=ITERS)
 
     # warmup/compile (tiny-but-nonzero tol: run all ITERS iterations
     # unless f32 orthogonality breaks down, which the kernel guards)
     TOL = 1e-12
     t0 = time.time()
-    res = pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS, chunk=ITERS)
+    res = run()
     jax.block_until_ready(res.x)
     t_compile = time.time() - t0
 
@@ -135,7 +161,7 @@ def main():
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        res = pcg(Afn, bj, M=Mfn, tol=TOL, maxiter=ITERS, chunk=ITERS)
+        res = run()
         jax.block_until_ready(res.x)
         best = min(best, time.time() - t0)
 

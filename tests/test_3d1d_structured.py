@@ -82,3 +82,31 @@ def test_3d1d_hybrid_algebraic_tail():
     assert rep.niters <= 40, rep.niters
     rel = np.linalg.norm(b - A.matvec(rep.x)) / np.linalg.norm(b)
     assert rel < 1e-7, rel
+
+
+def test_hem_banded_ordering():
+    """banded-HEM hybrid (HEM pairing inside Morton macro-windows):
+    converges at extreme gamma like global HEM, with DIA bands bounded
+    toward the Morton layout's (amg/structured.hem_tree_slots window)."""
+    from tpuamg.amg.structured import setup_structured
+    A, b, sizes, coords = _system(1e8)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    prm = AMGParameters(cycle_type="v", dtype="float64",
+                        schwarz_levels=2)
+
+    def width(order):
+        prec, _, _ = setup_structured(A, coords, prm, dtype=jnp.float64,
+                                      pallas=False, idofs=idofs,
+                                      order=order)
+        D = getattr(prec.levels[0].A, "dia", prec.levels[0].A)
+        return len(D.offsets)
+
+    w_hem, w_banded = width("hem"), width("hem_banded:8")
+    assert w_banded < w_hem, (w_banded, w_hem)
+
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm, tol=1e-8,
+                       maxiter=150, structured_coords=coords,
+                       idofs=idofs, pallas=False,
+                       structured_order="hem_banded:8")
+    assert rep.converged, rep.niters

@@ -58,6 +58,10 @@ if HAS_PALLAS:
 
 HIGHEST = jax.lax.Precision.HIGHEST
 VMEM_BUDGET = 15 * 2 ** 20
+# the chunked-PCG kernel is accounted exactly (fused_pcg_vmem_bytes), so
+# it can run closer to the ~16 MB/core physical VMEM than the heuristic
+# single-cycle budget above
+PCG_VMEM_BUDGET = int(15.5 * 2 ** 20)
 
 
 def _round_up(x, m):
@@ -180,28 +184,18 @@ def _dot(a, b):
                        preferred_element_type=jnp.float32)
 
 
-def _mega_kernel(spec: _CycleSpec, *refs):
+def _cycle_machine(spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
+                   xs, bs, ts, ds, xc, bufA, bufC, bufB, bufM, bufT,
+                   semA, semC, semB, semM, semT, lane):
+    """Build the multilevel V-cycle machinery shared by the single-cycle
+    kernel and the fused-PCG kernel.
+
+    bs[0] is an HBM ref pre-blocked as (nblocks, rb, 128); level-0 sweeps
+    stream it through bufB/semB.  Returns (cycle, sweep, dma) where
+    cycle() executes one full V-cycle (xs[0] := M @ bs[0])."""
     L = len(spec.levels)
     rb = spec.rb
     pt = spec.padt
-    it = iter(refs)
-    W0, W1, W0T, W1T, b0 = (next(it) for _ in range(5))
-    A_refs = [next(it) for _ in range(L)]
-    C_refs = [next(it) for _ in range(L)]
-    M_refs = [next(it) for _ in range(L)]
-    T_ref = next(it)
-    x0 = next(it)                       # out (= fine x storage with halo)
-    t0, d0 = next(it), next(it)
-    xs, bs, ts, ds = [x0], [b0], [t0], [d0]
-    for _ in range(1, L):
-        xs.append(next(it))
-        bs.append(next(it))
-        ts.append(next(it))
-        ds.append(next(it))
-    xc = next(it)
-    bufA, bufC, bufB, bufM, bufT = (next(it) for _ in range(5))
-    semA, semC, semB, semM, semT = (next(it) for _ in range(5))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
 
     def dma(planes, buf, sem, slot, blk):
         return pltpu.make_async_copy(planes.at[blk], buf.at[slot],
@@ -250,21 +244,73 @@ def _mega_kernel(spec: _CycleSpec, *refs):
             return bufB[slot].astype(jnp.float32)
         return bs[lv][base:base + rb, :].astype(jnp.float32)
 
+    def cheb_step(lv, w_d):
+        """One Chebyshev step — t := b - A x AND the C-apply/d-update in
+        a SINGLE block loop.  The C-apply lags the t-pass by one block
+        (its halo needs padt rows of the NEXT t block, padt < rb), which
+        halves the per-level block-loop count vs separate sweeps — the
+        per-block fixed costs (DMA waits, loop fill/drain) dominate the
+        pass floor (docs/PERF_NOTES.md)."""
+        S = spec.levels[lv]
+        x, t = xs[lv], ts[lv]
+        p = S.padr
+        nblocks = S.nblocks
+        D = spec.nbuf
+        assert pt < rb
+
+        def startA(slot, blk):
+            dma(A_refs[lv], bufA, semA, slot, blk).start()
+            if lv == 0:
+                dma(bs[0], bufB, semB, slot, blk).start()
+
+        def c_apply(blk):
+            cslot = blk % D
+            dma(C_refs[lv], bufC, semC, cslot, blk).wait()
+            cbase = blk * rb
+            tblk = t[cbase:cbase + rb + 2 * pt, :]
+            rolls = {}
+            acc = None
+            for dd, off in enumerate(S.offsC):
+                term = bufC[cslot, dd] * _shifted(tblk, rolls, lane, pt,
+                                                  rb, off)
+                acc = term if acc is None else acc + term
+            w_d(blk, cslot, cbase, acc)
+            if blk + D < nblocks:
+                dma(C_refs[lv], bufC, semC, cslot, blk + D).start()
+
+        for pre in range(min(D, nblocks)):
+            startA(pre, pre)
+            dma(C_refs[lv], bufC, semC, pre, pre).start()
+        for blk in range(nblocks):
+            slot = blk % D
+            dma(A_refs[lv], bufA, semA, slot, blk).wait()
+            if lv == 0:
+                dma(bs[0], bufB, semB, slot, blk).wait()
+            base = blk * rb
+            xblk = x[base:base + rb + 2 * p, :]
+            rolls = {}
+            acc = None
+            for dd, off in enumerate(S.offsA):
+                term = bufA[slot, dd] * _shifted(xblk, rolls, lane, p,
+                                                 rb, off)
+                acc = term if acc is None else acc + term
+            t[pt + base:pt + base + rb, :] = get_b(lv, slot, base) - acc
+            if blk + D < nblocks:
+                startA(slot, blk + D)
+            if blk >= 1:
+                c_apply(blk - 1)
+        c_apply(nblocks - 1)
+
     def cheb(lv, iters):
         """`iters` degree-k Chebyshev sweeps on level lv (in-place x)."""
         S = spec.levels[lv]
-        x, t, d = xs[lv], ts[lv], ds[lv]
+        x, d = xs[lv], ds[lv]
         p = S.padr
-
-        def w_t(blk, slot, base, acc):
-            t[pt + base:pt + base + rb, :] = get_b(lv, slot, base) - acc
 
         for itn in range(iters):
             for k in range(S.degree):
                 if itn or k:
                     x[p:p + S.rows_p, :] = x[p:p + S.rows_p, :] + d[:]
-                sweep(lv, x, p, A_refs[lv], S.offsA, bufA, semA, w_t,
-                      stream_b=(lv == 0))
                 if k == 0:
                     def w_d(blk, slot, base, acc, s=1.0 / S.theta):
                         d[base:base + rb, :] = s * acc
@@ -273,7 +319,7 @@ def _mega_kernel(spec: _CycleSpec, *refs):
                             ck=S.coefs[k - 1][1]):
                         d[base:base + rb, :] = (
                             ak * d[base:base + rb, :] + ck * acc)
-                sweep(lv, t, pt, C_refs[lv], S.offsC, bufC, semC, w_d)
+                cheb_step(lv, w_d)
         x[p:p + S.rows_p, :] = x[p:p + S.rows_p, :] + d[:]
 
     def residual(lv):
@@ -352,37 +398,72 @@ def _mega_kernel(spec: _CycleSpec, *refs):
             if blk + D < S.nblocks:
                 dma(M_refs[lv], bufM, semM, slot, blk + D).start()
 
-    # ---- down sweep -------------------------------------------------
-    for lv in range(L):
-        S = spec.levels[lv]
-        xs[lv][:] = jnp.zeros_like(xs[lv])
-        ts[lv][:] = jnp.zeros_like(ts[lv])
-        cheb(lv, S.pre)
-        residual(lv)
-        rc = restrict_value(lv)
-        if lv + 1 < L:
-            Sn = spec.levels[lv + 1]
-            bs[lv + 1][0:Sn.rows, :] = rc
-            if Sn.rows_p > Sn.rows:
-                bs[lv + 1][Sn.rows:Sn.rows_p, :] = jnp.zeros(
-                    (Sn.rows_p - Sn.rows, LANES), jnp.float32)
-        else:
-            # ---- coarse dense solve: x_c[R] = b_flat @ T[R] ---------
-            # (single-buffered stream: the inverse is read once per
-            # cycle; saving the second 1 MB buffer matters more than
-            # hiding ~rows_c small DMA latencies)
-            bflat = rc.reshape(1, spec.nc)
-            for R in range(spec.rows_c):
-                cp = pltpu.make_async_copy(T_ref.at[R], bufT.at[0],
-                                           semT.at[0])
-                cp.start()
-                cp.wait()
-                xc[R:R + 1, :] = _dot(bflat, bufT[0])
+    def coarse_solve(rc):
+        # ---- coarse dense solve: x_c[R] = b_flat @ T[R] -------------
+        # (single-buffered stream: the inverse is read once per cycle;
+        # saving the second buffer matters more than hiding ~rows_c
+        # small DMA latencies)
+        bflat = rc.reshape(1, spec.nc)
+        for R in range(spec.rows_c):
+            cp = pltpu.make_async_copy(T_ref.at[R], bufT.at[0],
+                                       semT.at[0])
+            cp.start()
+            cp.wait()
+            # cast: T may be stored reduced-precision (bf16); the
+            # coarse solve is part of the preconditioner, where
+            # storage rounding costs ~nothing (docs/PERF_NOTES.md)
+            xc[R:R + 1, :] = _dot(bflat, bufT[0].astype(jnp.float32))
 
-    # ---- up sweep ---------------------------------------------------
-    for lv in reversed(range(L)):
-        prolong_add(lv)
-        cheb(lv, spec.levels[lv].post)
+    def cycle():
+        # ---- down sweep ---------------------------------------------
+        for lv in range(L):
+            S = spec.levels[lv]
+            xs[lv][:] = jnp.zeros_like(xs[lv])
+            ts[lv][:] = jnp.zeros_like(ts[lv])
+            cheb(lv, S.pre)
+            residual(lv)
+            rc = restrict_value(lv)
+            if lv + 1 < L:
+                Sn = spec.levels[lv + 1]
+                bs[lv + 1][0:Sn.rows, :] = rc
+                if Sn.rows_p > Sn.rows:
+                    bs[lv + 1][Sn.rows:Sn.rows_p, :] = jnp.zeros(
+                        (Sn.rows_p - Sn.rows, LANES), jnp.float32)
+            else:
+                coarse_solve(rc)
+        # ---- up sweep -----------------------------------------------
+        for lv in reversed(range(L)):
+            prolong_add(lv)
+            cheb(lv, spec.levels[lv].post)
+
+    return cycle, sweep, dma
+
+
+def _mega_kernel(spec: _CycleSpec, *refs):
+    L = len(spec.levels)
+    it = iter(refs)
+    W0, W1, W0T, W1T, b0 = (next(it) for _ in range(5))
+    A_refs = [next(it) for _ in range(L)]
+    C_refs = [next(it) for _ in range(L)]
+    M_refs = [next(it) for _ in range(L)]
+    T_ref = next(it)
+    x0 = next(it)                       # out (= fine x storage with halo)
+    t0, d0 = next(it), next(it)
+    xs, bs, ts, ds = [x0], [b0], [t0], [d0]
+    for _ in range(1, L):
+        xs.append(next(it))
+        bs.append(next(it))
+        ts.append(next(it))
+        ds.append(next(it))
+    xc = next(it)
+    bufA, bufC, bufB, bufM, bufT = (next(it) for _ in range(5))
+    semA, semC, semB, semM, semT = (next(it) for _ in range(5))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (spec.rb, LANES), 1)
+    cycle, _, _ = _cycle_machine(
+        spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
+        xs, bs, ts, ds, xc, bufA, bufC, bufB, bufM, bufT,
+        semA, semC, semB, semM, semT, lane)
+    cycle()
 
 
 def _spec_key(spec):
@@ -456,8 +537,500 @@ def fused_vmem_bytes(spec: _CycleSpec, itemA=4, itemC=4):
     total += D * ndA * spec.rb * LANES * itemA
     total += D * ndC * spec.rb * LANES * itemC
     total += 2 * D * spec.rb * LANES * f32
-    total += spec.nc * LANES * f32
+    total += spec.nc * LANES * itemA
     total += 4 * LANES * LANES * f32
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-chunk PCG: `chunk` complete PCG iterations (outer SpMV, dot
+# products, vector updates, V-cycle preconditioner, residual statistics) in
+# ONE pallas_call.  The per-iteration XLA glue (~10 ops x ~15 us) and the
+# two kernel dispatches (~100-250 us each) of the launch-per-apply path
+# disappear; the host syncs once per chunk on the stats fetch.
+#
+# State placement: z (the preconditioned residual) lives in VMEM (the
+# cycle's fine x storage); r / x / p live in HBM and stream blockwise —
+# r doubles as the V-cycle rhs through the existing bufB streaming path.
+# p is updated in place with the recompute-from-old rule
+# ``p_new = z + beta * p_old`` applied uniformly to haloed tiles, so
+# neighbor-block halo reads need no ordering against core writes beyond a
+# one-block write lag (reads of block k+1 span block k's core tail).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _PCGSpec:
+    offsQ: tuple         # outer (CG) operator DIA offsets, kernel layout
+    chunk: int           # PCG iterations per launch
+    aliased: bool        # use input_output_aliases for x/r/p/z
+
+
+def _pcg_kernel(spec: _CycleSpec, pspec: _PCGSpec, *refs):
+    L = len(spec.levels)
+    rb = spec.rb
+    S0 = spec.levels[0]
+    p0 = S0.padr
+    nb = S0.nblocks
+    rows_p = S0.rows_p
+    D = spec.nbuf
+    it_refs = iter(refs)
+    W0, W1, W0T, W1T = (next(it_refs) for _ in range(4))
+    A_refs = [next(it_refs) for _ in range(L)]
+    C_refs = [next(it_refs) for _ in range(L)]
+    M_refs = [next(it_refs) for _ in range(L)]
+    T_ref = next(it_refs)
+    Q_ref = next(it_refs)
+    rzp_ref = next(it_refs)
+    x_in, r_in, p_in, z_in = (next(it_refs) for _ in range(4))
+    x_hbm, r_hbm, p_hbm, z_out, stats = (next(it_refs) for _ in range(5))
+    x0 = next(it_refs)
+    t0, d0 = next(it_refs), next(it_refs)
+    xs, bs, ts, ds = [x0], [r_hbm], [t0], [d0]
+    for _ in range(1, L):
+        xs.append(next(it_refs))
+        bs.append(next(it_refs))
+        ts.append(next(it_refs))
+        ds.append(next(it_refs))
+    xc = next(it_refs)
+    bufA, bufC, bufB, bufM, bufT = (next(it_refs) for _ in range(5))
+    semA, semC, semB, semM, semT = (next(it_refs) for _ in range(5))
+    bufQ, bufP, bufX, ringP, ringX, ringR = (
+        next(it_refs) for _ in range(6))
+    semQ, semP, semX, semPW, semXW, semRW = (
+        next(it_refs) for _ in range(6))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    tiny = jnp.float32(1e-30)
+
+    cycle, _, dma = _cycle_machine(
+        spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
+        xs, bs, ts, ds, xc, bufA, bufC, bufB, bufM, bufT,
+        semA, semC, semB, semM, semT, lane)
+
+    def copy(src, dst):
+        cp = pltpu.make_async_copy(src, dst, semT.at[0])
+        cp.start()
+        cp.wait()
+
+    # ---- prologue: z -> x0 (halo zeroed); un-aliased mode forwards ----
+    x0[0:p0, :] = jnp.zeros((p0, LANES), jnp.float32)
+    x0[p0 + rows_p:, :] = jnp.zeros((p0, LANES), jnp.float32)
+    copy(z_in, x0.at[pl.ds(p0, rows_p)])
+    if not pspec.aliased:
+        copy(x_in, x_hbm)
+        copy(r_in, r_hbm)
+        copy(p_in, p_hbm)
+
+    def phase_rz():
+        """sum(r * z): r streamed from HBM via bufB, z resident in x0."""
+        acc = jnp.zeros((1, 1), jnp.float32)
+        for pre in range(min(D, nb)):
+            dma(r_hbm, bufB, semB, pre, pre).start()
+        for blk in range(nb):
+            slot = blk % D
+            dma(r_hbm, bufB, semB, slot, blk).wait()
+            base = blk * rb
+            zblk = x0[p0 + base:p0 + base + rb, :]
+            acc = acc + jnp.sum(bufB[slot] * zblk, keepdims=True
+                                ).reshape(1, 1)
+            if blk + D < nb:
+                dma(r_hbm, bufB, semB, slot, blk + D).start()
+        return acc
+
+    def phase_qp(beta):
+        """p := z + beta*p and q := Q @ p -> d0 in one pass; returns p·q.
+
+        Haloed p tiles are recomputed from OLD p everywhere (halo rows of
+        already-updated neighbors give the same value by construction),
+        so reads never depend on this pass's writes; core write-back lags
+        one block so in-order reads of block k (spanning block k-1's core
+        tail) complete before block k-1's write starts.  In-flight
+        prefetches (>= k+1) start past the write's last row (rb > padr)."""
+        acc = jnp.zeros((1, 1), jnp.float32)
+
+        def rd(slot, blk):
+            return pltpu.make_async_copy(
+                p_hbm.at[pl.ds(blk * rb, rb + 2 * p0)], bufP.at[slot],
+                semP.at[slot])
+
+        def wr(w, blk):
+            return pltpu.make_async_copy(
+                ringP.at[w], p_hbm.at[pl.ds(p0 + blk * rb, rb)],
+                semPW.at[w])
+
+        def start_in(slot, blk):
+            rd(slot, blk).start()
+            dma(Q_ref, bufQ, semQ, slot, blk).start()
+
+        for pre in range(min(D, nb)):
+            start_in(pre, pre)
+        for blk in range(nb):
+            slot = blk % D
+            w = blk % 2
+            rd(slot, blk).wait()
+            dma(Q_ref, bufQ, semQ, slot, blk).wait()
+            if blk >= 1:
+                wr((blk - 1) % 2, blk - 1).start()
+            if blk >= 2:
+                wr(w, blk - 2).wait()
+            base = blk * rb
+            ztile = x0[base:base + rb + 2 * p0, :]
+            ptile = ztile + beta * bufP[slot]
+            rolls = {}
+            q = None
+            for dd, off in enumerate(pspec.offsQ):
+                term = bufQ[slot, dd] * _shifted(ptile, rolls, lane, p0,
+                                                 rb, off)
+                q = term if q is None else q + term
+            d0[base:base + rb, :] = q
+            pcore = ptile[p0:p0 + rb, :]
+            ringP[w] = pcore
+            acc = acc + jnp.sum(pcore * q, keepdims=True).reshape(1, 1)
+            if blk + D < nb:
+                start_in(slot, blk + D)
+        wr((nb - 1) % 2, nb - 1).start()
+        if nb >= 2:
+            wr((nb - 2) % 2, nb - 2).wait()
+        wr((nb - 1) % 2, nb - 1).wait()
+        return acc
+
+    def phase_xr(alpha):
+        """x += alpha*p, r -= alpha*q(d0); returns (||r||^2, ||x||^2).
+        Block-aligned read-modify-write streams (no halo -> no cross-
+        block overlap -> immediate write-back is race-free)."""
+        rn = jnp.zeros((1, 1), jnp.float32)
+        xn = jnp.zeros((1, 1), jnp.float32)
+
+        def rdp(slot, blk):
+            return pltpu.make_async_copy(
+                p_hbm.at[pl.ds(p0 + blk * rb, rb)],
+                bufP.at[slot, pl.ds(0, rb)], semP.at[slot])
+
+        def wrx(w, blk):
+            return pltpu.make_async_copy(ringX.at[w], x_hbm.at[blk],
+                                         semXW.at[w])
+
+        def wrr(w, blk):
+            return pltpu.make_async_copy(ringR.at[w], r_hbm.at[blk],
+                                         semRW.at[w])
+
+        def start_in(slot, blk):
+            dma(x_hbm, bufX, semX, slot, blk).start()
+            rdp(slot, blk).start()
+            dma(r_hbm, bufB, semB, slot, blk).start()
+
+        for pre in range(min(D, nb)):
+            start_in(pre, pre)
+        for blk in range(nb):
+            slot = blk % D
+            w = blk % 2
+            dma(x_hbm, bufX, semX, slot, blk).wait()
+            rdp(slot, blk).wait()
+            dma(r_hbm, bufB, semB, slot, blk).wait()
+            if blk >= 2:
+                wrx(w, blk - 2).wait()
+                wrr(w, blk - 2).wait()
+            base = blk * rb
+            xt = bufX[slot] + alpha * bufP[slot, 0:rb, :]
+            rt = bufB[slot] - alpha * d0[base:base + rb, :]
+            ringX[w] = xt
+            ringR[w] = rt
+            xn = xn + jnp.sum(xt * xt, keepdims=True).reshape(1, 1)
+            rn = rn + jnp.sum(rt * rt, keepdims=True).reshape(1, 1)
+            wrx(w, blk).start()
+            wrr(w, blk).start()
+            if blk + D < nb:
+                start_in(slot, blk + D)
+        for blk in range(max(nb - 2, 0), nb):
+            w = blk % 2
+            wrx(w, blk).wait()
+            wrr(w, blk).wait()
+        return rn, xn
+
+    def write_stats(row, vals, full):
+        out = jnp.zeros((1, LANES), jnp.float32) if full else \
+            stats[pl.ds(row, 1), :]
+        for ln, v in vals.items():
+            out = jnp.where(lane1 == ln, v, out)
+        stats[pl.ds(row, 1), :] = out
+
+    def body(it2, rz_prev):
+        rz = phase_rz()
+        beta = jnp.where(rz_prev > 0, rz / (rz_prev + tiny),
+                         jnp.zeros((1, 1), jnp.float32))
+        # lanes 1,2 of the PREVIOUS row (harmlessly clobbers row 0 at
+        # it=0; rewritten correctly at it=1)
+        write_stats(jnp.maximum(it2 - 1, 0),
+                    {1: beta, 2: jnp.sqrt(jnp.abs(rz))}, full=False)
+        pAp = phase_qp(beta)
+        alpha = rz / (pAp + tiny)
+        rn, xn = phase_xr(alpha)
+        write_stats(it2, {0: alpha, 3: jnp.sqrt(rn), 4: jnp.sqrt(xn)},
+                    full=True)
+        cycle()
+        return rz
+
+    rz0 = rzp_ref[0].reshape(1, 1)
+    rz_last = jax.lax.fori_loop(0, pspec.chunk, body, rz0)
+    # finalize the last row (its beta / preconditioned-residual norm come
+    # from one more r·z against the fresh z); stash the chunk carry
+    rz_T = phase_rz()
+    beta_T = jnp.where(rz_last > 0, rz_T / (rz_last + tiny),
+                       jnp.zeros((1, 1), jnp.float32))
+    write_stats(pspec.chunk - 1,
+                {1: beta_T, 2: jnp.sqrt(jnp.abs(rz_T))}, full=False)
+    write_stats(pspec.chunk, {0: rz_T, 1: rz_last}, full=True)
+    copy(x0.at[pl.ds(p0, rows_p)], z_out)
+
+
+@partial(jax.jit, static_argnames=("spec", "pspec", "interpret"))
+def _pcg_call(spec: _CycleSpec, pspec: _PCGSpec, interpret, W0, W1, W0T,
+              W1T, A_planes, C_planes, M_planes, T, Q4, rz_prev, x3, r3,
+              p2, z2):
+    L = len(spec.levels)
+    rb = spec.rb
+    pt = spec.padt
+    f32 = jnp.float32
+    S0 = spec.levels[0]
+    D = spec.nbuf
+    p0 = S0.padr
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec(memory_space=pl.ANY)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scratch = [
+        pltpu.VMEM((S0.rows_p + 2 * p0, LANES), f32),    # x0 (z storage)
+        pltpu.VMEM((S0.rows_p + 2 * pt, LANES), f32),    # t0
+        pltpu.VMEM((S0.rows_p, LANES), f32),             # d0 (doubles as q)
+    ]
+    for S in spec.levels[1:]:
+        scratch += [
+            pltpu.VMEM((S.rows_p + 2 * S.padr, LANES), f32),   # x
+            pltpu.VMEM((S.rows_p, LANES), f32),                # b
+            pltpu.VMEM((S.rows_p + 2 * pt, LANES), f32),       # t
+            pltpu.VMEM((S.rows_p, LANES), f32),                # d
+        ]
+    ndA = A_planes[0].shape[1]
+    ndC = C_planes[0].shape[1]
+    ndQ = Q4.shape[1]
+    scratch += [
+        pltpu.VMEM((max(spec.rows_c, 8), LANES), f32),         # xc
+        pltpu.VMEM((D, ndA, rb, LANES), A_planes[0].dtype),    # bufA
+        pltpu.VMEM((D, ndC, rb, LANES), C_planes[0].dtype),    # bufC
+        pltpu.VMEM((D, rb, LANES), f32),                       # bufB
+        pltpu.VMEM((D, rb, LANES), M_planes[0].dtype),         # bufM
+        pltpu.VMEM((1, spec.nc, LANES), T.dtype),              # bufT
+        pltpu.SemaphoreType.DMA((D,)),
+        pltpu.SemaphoreType.DMA((D,)),
+        pltpu.SemaphoreType.DMA((D,)),
+        pltpu.SemaphoreType.DMA((D,)),
+        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.VMEM((D, ndQ, rb, LANES), f32),                  # bufQ
+        pltpu.VMEM((D, rb + 2 * p0, LANES), f32),              # bufP
+        pltpu.VMEM((D, rb, LANES), f32),                       # bufX
+        pltpu.VMEM((2, rb, LANES), f32),                       # ringP
+        pltpu.VMEM((2, rb, LANES), f32),                       # ringX
+        pltpu.VMEM((2, rb, LANES), f32),                       # ringR
+        pltpu.SemaphoreType.DMA((D,)),   # semQ
+        pltpu.SemaphoreType.DMA((D,)),   # semP
+        pltpu.SemaphoreType.DMA((D,)),   # semX
+        pltpu.SemaphoreType.DMA((2,)),   # semPW
+        pltpu.SemaphoreType.DMA((2,)),   # semXW
+        pltpu.SemaphoreType.DMA((2,)),   # semRW
+    ]
+    nin = 4 + 3 * L + 3          # W(4), A/C/M planes, T, Q, rz_prev
+    io_alias = {nin: 0, nin + 1: 1, nin + 2: 2, nin + 3: 3} \
+        if pspec.aliased else {}
+    out_shape = (
+        jax.ShapeDtypeStruct(x3.shape, f32),
+        jax.ShapeDtypeStruct(r3.shape, f32),
+        jax.ShapeDtypeStruct(p2.shape, f32),
+        jax.ShapeDtypeStruct(z2.shape, f32),
+        jax.ShapeDtypeStruct((pspec.chunk + 1, LANES), f32),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            partial(_pcg_kernel, spec, pspec),
+            in_specs=[vspec] * 4 + [aspec] * (3 * L)
+            + [aspec, aspec, sspec] + [aspec] * 4,
+            out_specs=(aspec, aspec, aspec, aspec, vspec),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            input_output_aliases=io_alias,
+            interpret=interpret,
+        )(W0, W1, W0T, W1T, *A_planes, *C_planes, *M_planes, T, Q4,
+          rz_prev, x3, r3, p2, z2)
+
+
+@jax.tree_util.register_pytree_node_class
+class FusedPCG:
+    """Whole-chunk PCG runner: `chunk` iterations per kernel launch.
+
+    Wraps a FusedVCycle (shared hierarchy planes) plus the outer operator
+    planes Q (f32 — the CG matvec defines the true residual and cannot
+    take storage rounding, unlike the preconditioner)."""
+
+    def __init__(self, vc: FusedVCycle, Q4, offsQ, interpret=False):
+        self.vc = vc
+        self.Q4 = Q4
+        self.offsQ = tuple(int(o) for o in offsQ)
+        self.interpret = bool(interpret)
+
+    def tree_flatten(self):
+        return ((self.vc, self.Q4), (self.offsQ, self.interpret))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        vc, Q4 = ch
+        return cls(vc, Q4, aux[0], aux[1])
+
+    @property
+    def cspec(self):
+        # the chunked kernel trades plane-stream depth for its extra
+        # Q/P/X buffers (nbuf=4 busts VMEM at n=512: measured 16.3 MiB)
+        from dataclasses import replace as _rep
+        return _rep(self.vc.spec, nbuf=min(self.vc.spec.nbuf, 2))
+
+    def run_chunk(self, x3, r3, p2, z2, rz_prev, chunk):
+        vc = self.vc
+        pspec = _PCGSpec(offsQ=self.offsQ, chunk=int(chunk),
+                         aliased=not self.interpret)
+        return _pcg_call(self.cspec, pspec, self.interpret, vc.W0, vc.W1,
+                         vc.W0T, vc.W1T, vc.A_planes, vc.C_planes,
+                         vc.M_planes, vc.T, self.Q4, rz_prev, x3, r3,
+                         p2, z2)
+
+
+def pcg_fused(fp: FusedPCG, b, tol=1e-8, maxiter=500, chunk=32,
+              stop_type=2, callback=None):
+    """PCG with the whole-chunk fused kernel; mirrors krylov.cg.pcg's
+    host loop, diagnostics contract (CGResult) and stop types
+    (/root/reference/src/input_metric.dat:54).  b and the returned x are
+    in the kernel-flat layout (length vc.nflat)."""
+    from ..krylov.cg import CGResult, _TINY
+    vc = fp.vc
+    S0 = vc.spec.levels[0]
+    nb, rb = S0.nblocks, vc.spec.rb
+    rows_p, p0 = S0.rows_p, S0.padr
+    b = jnp.asarray(b, jnp.float32)
+    bm = b * vc.mask_flat
+    maxiter = int(maxiter)
+    chunk = max(1, min(int(chunk), maxiter))
+    z = vc.matvec(bm)                      # z0 = M r0, r0 = b (x0 = 0)
+    r3 = bm.reshape(nb, rb, LANES)
+    x3 = jnp.zeros_like(r3)
+    p2 = jnp.zeros((rows_p + 2 * p0, LANES), jnp.float32)
+    z2 = z.reshape(rows_p, LANES).astype(jnp.float32)
+    # single stacked value fetch (each host round trip costs ~30-60 ms
+    # on the remote runtime — docs/PERF_NOTES.md)
+    init = np.asarray(jnp.stack([jnp.vdot(bm, z), jnp.linalg.norm(bm),
+                                 jnp.linalg.norm(b)]))
+    rz, rnorm0 = float(init[0]), float(init[1])
+    res0 = float(np.sqrt(max(rz, 0.0)))
+    res_hist = [res0]
+    true_hist = [rnorm0]
+    norm_b = float(init[2]) if stop_type == 1 else 0.0
+    alphas, betas = [], []
+    k = 0
+    if stop_type == 1:
+        converged = rnorm0 <= tol * norm_b or norm_b == 0.0
+    else:
+        converged = res0 == 0.0
+    rz_prev = jnp.asarray([-1.0], jnp.float32)
+
+    def _crossed(o):
+        if stop_type == 1:
+            return o[:, 3] <= tol * norm_b
+        if stop_type == 3:
+            return o[:, 3] <= tol * np.maximum(o[:, 4], _TINY)
+        return o[:, 2] <= tol * res0
+
+    while not converged and k < maxiter:
+        x3, r3, p2, z2, stats = fp.run_chunk(x3, r3, p2, z2, rz_prev,
+                                             chunk)
+        o = np.asarray(stats)              # value fetch = true barrier
+        rz_prev = jnp.asarray([o[chunk, 1]], jnp.float32)
+        o = o[:chunk, :5]
+        cross = _crossed(o)
+        hit = np.flatnonzero(cross | ~np.isfinite(o[:, 2]))
+        take = int(hit[0]) + 1 if len(hit) else chunk
+        take = min(take, maxiter - k)
+        alphas.extend(o[:take, 0].tolist())
+        betas.extend(o[:take, 1].tolist())
+        res_hist.extend(o[:take, 2].tolist())
+        true_hist.extend(o[:take, 3].tolist())
+        k += take
+        converged = len(hit) > 0 and np.isfinite(o[hit[0], 2]) \
+            and bool(cross[hit[0]])
+        if len(hit) and not converged:
+            break
+    res = np.asarray(res_hist)
+    true = np.asarray(true_hist)
+    if callback is not None:
+        for i in range(1, k + 1):
+            callback(i, None, true[i])
+    return CGResult(x=x3.reshape(-1), niters=k, converged=bool(converged),
+                    residuals=res, true_residuals=true,
+                    alphas=np.asarray(alphas), betas=np.asarray(betas))
+
+
+def setup_grid_fused_pcg(A_host: HostCSR, dims, F=1, mask=None,
+                         params: AMGParameters = AMGParameters(),
+                         cheb_degree=3, cheb_ratio=8.0, storage_dtype=None,
+                         rb=64, nbuf=4, interpret=False):
+    """FusedVCycle + outer-operator planes -> (FusedPCG, slots, nflat).
+
+    Raises ValueError when the chunked kernel cannot fit (VMEM) — callers
+    fall back to the launch-per-apply fused path."""
+    vc, slots, nflat = setup_grid_fused(
+        A_host, dims, F=F, mask=mask, params=params,
+        cheb_degree=cheb_degree, cheb_ratio=cheb_ratio,
+        storage_dtype=storage_dtype, rb=rb, nbuf=nbuf,
+        interpret=interpret)
+    S0 = vc.spec.levels[0]
+    r, c, v = A_host.to_coo()
+    Ak = HostCSR.from_coo(slots[r], slots[c], v, (nflat, nflat))
+    offsQ, dataQ = _dia_np(Ak)
+    if _plan_padr(offsQ) > S0.padr:
+        raise ValueError("outer offsets exceed the fine-level halo")
+    Q4 = jnp.asarray(_pack_planes(dataQ.astype(np.float32), nflat,
+                                  S0.rows_p, vc.spec.rb),
+                     dtype=jnp.float32)
+    itemA = jnp.dtype(storage_dtype or jnp.float32).itemsize
+    fp = FusedPCG(vc, Q4, offsQ, interpret=interpret)
+    need = fused_pcg_vmem_bytes(fp.cspec, len(offsQ), itemA)
+    if not interpret and need > PCG_VMEM_BUDGET:
+        raise ValueError(f"fused PCG needs {need} bytes VMEM "
+                         f"(> {PCG_VMEM_BUDGET})")
+    return fp, slots, nflat
+
+
+def fused_pcg_vmem_bytes(cspec: _CycleSpec, ndQ, itemA, chunk_max=128):
+    """Exact VMEM bytes of the chunked-PCG kernel's scratch + VMEM outs."""
+    f32 = 4
+    D = cspec.nbuf
+    rb = cspec.rb
+    S0 = cspec.levels[0]
+    total = (S0.rows_p + 2 * S0.padr) * LANES * f32    # x0
+    total += (S0.rows_p + 2 * cspec.padt) * LANES * f32   # t0
+    total += S0.rows_p * LANES * f32                   # d0
+    for S in cspec.levels[1:]:
+        total += ((S.rows_p + 2 * S.padr) + (S.rows_p + 2 * cspec.padt)
+                  + 2 * S.rows_p) * LANES * f32
+    total += max(cspec.rows_c, 8) * LANES * f32        # xc
+    ndA = len(S0.offsA)
+    ndC = len(S0.offsC)
+    total += D * ndA * rb * LANES * itemA              # bufA
+    total += D * ndC * rb * LANES * itemA              # bufC
+    total += D * rb * LANES * f32                      # bufB
+    total += D * rb * LANES * itemA                    # bufM
+    total += cspec.nc * LANES * itemA                  # bufT
+    total += D * ndQ * rb * LANES * f32                # bufQ
+    total += D * (rb + 2 * S0.padr) * LANES * f32      # bufP
+    total += D * rb * LANES * f32                      # bufX
+    total += 3 * 2 * rb * LANES * f32                  # rings
+    total += 4 * LANES * LANES * f32                   # W mats
+    total += (chunk_max + 1) * LANES * f32             # stats
     return total
 
 
@@ -760,7 +1333,7 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
         spec, jnp.asarray(W0), jnp.asarray(W1),
         jnp.asarray(np.ascontiguousarray(W0.T)),
         jnp.asarray(np.ascontiguousarray(W1.T)),
-        A_dev, C_dev, M_planes, jnp.asarray(T, dtype=jnp.float32),
+        A_dev, C_dev, M_planes, jnp.asarray(T, dtype=sdtype),
         mask_flat0, interpret=interpret,
         level_nnz=level_nnz, coarse_n=A.shape[0])
     if reference:

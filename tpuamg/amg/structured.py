@@ -353,10 +353,18 @@ def morton_code(coords, bits=16):
     return code
 
 
-def _hem_pairs(A: HostCSR, theta):
+def _hem_pairs(A: HostCSR, theta, group=None):
     """Level-0 pairing: HEM matching on the strength graph. Returns
-    match[i] = partner or -1."""
+    match[i] = partner or -1.
+
+    group: optional per-row window id — matching edges are restricted to
+    same-window pairs (the banded-HEM hybrid: heavy-edge pairing with a
+    bounded slot-distance footprint; see hem_tree_slots(window=...))."""
     S = strength_graph(A, theta)
+    if group is not None:
+        r, c, v = S.to_coo()
+        keep = group[r] == group[c]
+        S = HostCSR.from_coo(r[keep], c[keep], v[keep], S.shape)
     n = A.shape[0]
     # reuse the hand-shaking matching from aggregation (pairs only)
     agg, nagg = hem_aggregation(S)
@@ -439,7 +447,7 @@ def _estimate_lmax(A: HostCSR, blockinv, mask, s, iters=15, seed=0):
 
 
 def hem_tree_slots(A_host: HostCSR, coords, theta=0.1, max_rounds=30,
-                   coarse_units=4):
+                   coarse_units=4, window=0):
     """Multilevel HEM matching tree -> slot permutation.
 
     The Morton-window layout above coarsens geometrically, which loses
@@ -462,6 +470,15 @@ def hem_tree_slots(A_host: HostCSR, coords, theta=0.1, max_rounds=30,
     one).  Top-level units are ordered by centroid Morton code to keep
     what locality remains (DIA offset width).
 
+    window > 0 selects the BANDED-HEM hybrid: each round's matching is
+    restricted to pairs inside the same Morton macro-window of `window`
+    units.  Pure HEM pairs globally by strength, which interleaves far
+    dofs and widens the slot-space DIA bands toward dense at small n;
+    the metric (gamma) couplings it must capture are spatially local
+    (the 3D-1D cylinder average couples a curve dof to NEARBY 3D dofs),
+    so windowed pairing keeps the heavy edges while bounding the
+    band growth to ~window slots per round.
+
     Returns (slots0, nsl): slots0[dof] = leaf slot; nsl = total leaves
     (a power-of-two multiple of the top unit count)."""
     from ..sparse import rap_unsmoothed
@@ -472,7 +489,13 @@ def hem_tree_slots(A_host: HostCSR, coords, theta=0.1, max_rounds=30,
     A = A_host
     rounds = 0
     while len(members) > coarse_units and rounds < max_rounds:
-        match = _hem_pairs(A, theta * (0.5 ** rounds))
+        group = None
+        if window and len(members) > window:
+            rank = np.empty(len(members), dtype=np.int64)
+            rank[np.argsort(morton_code(cent), kind="stable")] = \
+                np.arange(len(members))
+            group = rank // int(window)
+        match = _hem_pairs(A, theta * (0.5 ** rounds), group=group)
         left = np.flatnonzero(match < 0)
         if len(left) > 1:
             order = np.argsort(morton_code(cent[left]), kind="stable")
@@ -542,8 +565,15 @@ def setup_structured(A_host: HostCSR, coords,
     """
     n0 = A_host.shape[0]
     crd = np.asarray(coords, dtype=np.float64)
-    if order == "hem" and pairs is None:
-        slots0, nsl = hem_tree_slots(A_host, crd, params.strong_coupled)
+    if order is not None and order.startswith("hem") and pairs is None:
+        # "hem" = global multilevel HEM tree; "hem_banded[:W]" = the
+        # banded hybrid (HEM pairing inside Morton macro-windows of W
+        # units, default 64 — narrow DIA bands, metric-aware windows)
+        window = 0
+        if order.startswith("hem_banded"):
+            window = int(order.split(":", 1)[1]) if ":" in order else 64
+        slots0, nsl = hem_tree_slots(A_host, crd, params.strong_coupled,
+                                     window=window)
     else:
         match = pairs if pairs is not None else _hem_pairs(
             A_host, params.strong_coupled)

@@ -176,13 +176,19 @@ def unpad_grid_vector(x2, dims, dims2, F):
     return x
 
 
-def _dist_pallas_mults(dims, F, ndev, shard_depth, pallas_levels=2):
+def _dist_pallas_mults(dims, F, ndev, shard_depth, pallas_levels=None):
     """Per-axis padding multiples so the sharded-Pallas layout contract
     holds at levels 0..pallas_levels-1: axis 0 divisible by
     ndev*2^shard_depth (shard + reshape locality) and each level's flat
     length divisible by 128*8*ndev (plan_sharded's 2-D kernel layout;
     level l dims halve l times).  Greedy: doubles the multiple of
-    whichever axis grows the padded volume least."""
+    whichever axis grows the padded volume least.
+
+    pallas_levels=None selects depth automatically: the padded volume
+    budget is set by the 2-level solution (fine-level flops scale with
+    the padded volume, so deeper Pallas coverage must not inflate the
+    fine grid), and the deepest nlv <= shard_depth + 1 whose solution
+    fits that budget wins — extra depth is taken only when free."""
     from ..sparse.dia_pallas import LANES
     need = LANES * 8 * ndev
     mults = [ndev * 2 ** shard_depth] + [1] * (len(dims) - 1)
@@ -199,22 +205,44 @@ def _dist_pallas_mults(dims, F, ndev, shard_depth, pallas_levels=2):
         return int(np.prod([-(-d // m) * m
                             for d, m in zip(dims, ms)])) * F
 
-    for nlv in range(pallas_levels, 0, -1):   # relax depth if too costly
-        trial_mults = list(mults)
+    def solve_depth(nlv, cap):
+        trial = list(mults)
         for _ in range(64):
-            if ok(trial_mults, nlv):
-                return tuple(trial_mults)
-            if nflat(trial_mults) > 4 * nflat(mults):
-                break    # padding blow-up: try fewer pallas levels
+            if ok(trial, nlv):
+                return trial
+            if nflat(trial) > cap:
+                return None    # padding blow-up at this depth
             best, bi = None, 0
             for i in range(len(dims)):
-                t = list(trial_mults)
+                t = list(trial)
                 t[i] *= 2
-                cost = nflat(t) / nflat(trial_mults)
+                cost = nflat(t) / nflat(trial)
                 if best is None or cost < best:
                     best, bi = cost, i
-            trial_mults[bi] *= 2
-    raise ValueError("cannot satisfy sharded-Pallas divisibility")
+            trial[bi] *= 2
+        return None
+
+    if pallas_levels is not None:
+        for nlv in range(pallas_levels, 0, -1):
+            got = solve_depth(nlv, 4 * nflat(mults))
+            if got is not None:
+                return tuple(got)
+        raise ValueError("cannot satisfy sharded-Pallas divisibility")
+    base = None
+    for nlv in range(min(2, shard_depth + 1), 0, -1):
+        base = solve_depth(nlv, 4 * nflat(mults))
+        if base is not None:
+            break
+    if base is None:
+        raise ValueError("cannot satisfy sharded-Pallas divisibility")
+    budget = nflat(base)
+    chosen = base
+    for nlv in range(shard_depth + 1, 2, -1):   # deepest free depth wins
+        got = solve_depth(nlv, budget)
+        if got is not None and nflat(got) <= budget:
+            chosen = got
+            break
+    return tuple(chosen)
 
 
 def _upgrade_pallas_levels(prec, mesh, n_shard_min, interpret):

@@ -137,6 +137,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     *true-residual* target.  refine=0 (default) = single solve, `tol` is
     the device Krylov's preconditioned-residual target."""
     slots = None
+    fp = None          # whole-chunk fused PCG runner (grid path, cg)
     if structured_coords is not None and grid is None \
             and precond not in ("diag",):
         from dataclasses import replace
@@ -178,22 +179,36 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             fused_ok = resolve_pallas(None)[0]
         t0 = time.time()
         prec = None
+        fp = None
         if fused_ok:
             from ..amg.grid_fused import (setup_grid_fused,
+                                          setup_grid_fused_pcg,
                                           grid_system_fused,
                                           fused_operator)
             interp = (pallas == "fused_interpret")
-            try:
-                vc, slots, nsl = setup_grid_fused(
-                    A, dims, F=F, params=prm, interpret=interp)
-                t_setup = time.time() - t0
-                Aop = dia_matvec_op(grid_system_fused(
-                    A, slots, nsl, dtype=dtype,
-                    pallas="interpret" if interp else pallas))
-                M = fused_operator(vc)
-                prec = vc
-            except ValueError:
-                prec = None
+            if method == "cg":
+                # whole-chunk fused PCG: complete iterations (outer
+                # SpMV + dots + updates + V-cycle) per kernel launch
+                try:
+                    fp, slots, nsl = setup_grid_fused_pcg(
+                        A, dims, F=F, params=prm, interpret=interp)
+                    t_setup = time.time() - t0
+                    prec = fp.vc
+                    Aop = M = None
+                except ValueError:
+                    fp = None
+            if fp is None:
+                try:
+                    vc, slots, nsl = setup_grid_fused(
+                        A, dims, F=F, params=prm, interpret=interp)
+                    t_setup = time.time() - t0
+                    Aop = dia_matvec_op(grid_system_fused(
+                        A, slots, nsl, dtype=dtype,
+                        pallas="interpret" if interp else pallas))
+                    M = fused_operator(vc)
+                    prec = vc
+                except ValueError:
+                    prec = None
         if prec is None:
             prec, slots, nsl = setup_grid(A, dims, F=F, params=prm,
                                           dtype=dtype, pallas=pallas)
@@ -213,7 +228,11 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     t0 = time.time()
 
     def _run(bdev, ktol, miter):
-        if method == "cg":
+        if fp is not None:
+            from ..amg.grid_fused import pcg_fused
+            r = pcg_fused(fp, bdev, tol=ktol, maxiter=miter,
+                          callback=callback, stop_type=stop_type)
+        elif method == "cg":
             r = pcg(Aop, bdev, M=M, tol=ktol, maxiter=miter,
                     callback=callback, stop_type=stop_type)
         elif method == "minres":
