@@ -16,6 +16,27 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import resource  # noqa: E402
+
+# the default 8 MB stack soft-limit segfaults LLVM's recursive passes on
+# the big unrolled multilevel programs (libgcc unwind SIGSEGV / "LLVM
+# compilation error: Cannot allocate memory"); raise toward the hard cap
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = _hard if _hard != resource.RLIM_INFINITY else 1 << 30
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+    except (ValueError, OSError):
+        pass
+
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compile cache: the suite compiles ~100 multilevel
+# programs; one process accumulates enough LLVM state to segfault near
+# the end (see CLAUDE.md hazards).  With the cache, reruns skip compiles
+# entirely; scripts/run_tests.sh batches files into fresh interpreters.
+import tpuamg  # noqa: E402
+
+tpuamg.enable_compilation_cache()

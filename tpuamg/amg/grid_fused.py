@@ -50,7 +50,8 @@ import jax.numpy as jnp
 from ..sparse import HostCSR
 from ..sparse.dia import DIA
 from ..config import AMGParameters
-from ..sparse.dia_pallas import (LANES, _shifted, _cheb_coefs, HAS_PALLAS)
+from ..sparse.dia_pallas import (LANES, _shifted, _cheb_coefs,
+                                 _diag_sum, HAS_PALLAS)
 
 if HAS_PALLAS:
     from jax.experimental import pallas as pl
@@ -229,11 +230,8 @@ def _cycle_machine(spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
             base = blk * rb
             xblk = src_ref[base:base + rb + 2 * src_p, :]
             rolls = {}
-            acc = None
-            for dd, off in enumerate(offs):
-                term = buf[slot, dd] * _shifted(xblk, rolls, lane, src_p,
-                                                rb, off)
-                acc = term if acc is None else acc + term
+            acc = _diag_sum(offs, lambda d, off: buf[slot, d] * _shifted(
+                xblk, rolls, lane, src_p, rb, off))
             write(blk, slot, base, acc)
             if blk + D < nblocks:
                 # slot just consumed — safe to refill D blocks ahead
@@ -269,11 +267,8 @@ def _cycle_machine(spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
             cbase = blk * rb
             tblk = t[cbase:cbase + rb + 2 * pt, :]
             rolls = {}
-            acc = None
-            for dd, off in enumerate(S.offsC):
-                term = bufC[cslot, dd] * _shifted(tblk, rolls, lane, pt,
-                                                  rb, off)
-                acc = term if acc is None else acc + term
+            acc = _diag_sum(S.offsC, lambda d, off: bufC[cslot, d]
+                            * _shifted(tblk, rolls, lane, pt, rb, off))
             w_d(blk, cslot, cbase, acc)
             if blk + D < nblocks:
                 dma(C_refs[lv], bufC, semC, cslot, blk + D).start()
@@ -289,11 +284,8 @@ def _cycle_machine(spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
             base = blk * rb
             xblk = x[base:base + rb + 2 * p, :]
             rolls = {}
-            acc = None
-            for dd, off in enumerate(S.offsA):
-                term = bufA[slot, dd] * _shifted(xblk, rolls, lane, p,
-                                                 rb, off)
-                acc = term if acc is None else acc + term
+            acc = _diag_sum(S.offsA, lambda d, off: bufA[slot, d]
+                            * _shifted(xblk, rolls, lane, p, rb, off))
             t[pt + base:pt + base + rb, :] = get_b(lv, slot, base) - acc
             if blk + D < nblocks:
                 startA(slot, blk + D)
@@ -678,11 +670,8 @@ def _pcg_kernel(spec: _CycleSpec, pspec: _PCGSpec, *refs):
             ztile = x0[base:base + rb + 2 * p0, :]
             ptile = ztile + beta * bufP[slot]
             rolls = {}
-            q = None
-            for dd, off in enumerate(pspec.offsQ):
-                term = bufQ[slot, dd] * _shifted(ptile, rolls, lane, p0,
-                                                 rb, off)
-                q = term if q is None else q + term
+            q = _diag_sum(pspec.offsQ, lambda d, off: bufQ[slot, d]
+                          * _shifted(ptile, rolls, lane, p0, rb, off))
             d0[base:base + rb, :] = q
             pcore = ptile[p0:p0 + rb, :]
             ringP[w] = pcore

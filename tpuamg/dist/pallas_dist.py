@@ -35,7 +35,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..sparse.dia import DIA
 from ..sparse.dia_pallas import (LANES, HAS_PALLAS, _round_up, _shifted,
-                                 _spmv_call, _residual_call, _cheb_coefs,
+                                 _spmv_call, _residual_call, _cheb_coefs, _diag_sum,
                                  _pack_blocks, blockinv_dia)
 
 if HAS_PALLAS:
@@ -205,11 +205,8 @@ def _cheb_step_kernel(offsA, offsC, p, rb, nblocks, first, ak, ck, theta,
             base = blk * rb
             xblk = src_ref[base:base + rb + 2 * p, :]
             rolls = {}
-            acc = None
-            for dd, off in enumerate(offs):
-                term = buf[slot, dd] * _shifted(xblk, rolls, lane, p, rb,
-                                                off)
-                acc = term if acc is None else acc + term
+            acc = _diag_sum(offs, lambda d, off: buf[slot, d] * _shifted(
+                xblk, rolls, lane, p, rb, off))
             write(base, acc)
 
     def w_t(base, acc):

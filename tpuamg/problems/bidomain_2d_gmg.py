@@ -70,6 +70,14 @@ def main(argv=None):
                         help="half-width of the coupling strip")
     parser.add_argument("-mg_type", type=str, default="mg",
                         choices=("amg", "mg"))
+    parser.add_argument("-smoother", type=str, default="cheb",
+                        choices=("cheb", "patch"),
+                        help="mg smoother: nodal-block Chebyshev (the "
+                        "TPU default) or 'patch' = vertex-star patch "
+                        "relaxation (the firedrake.PatchPC analog, "
+                        "bidomain_2d_firedrake.py:113-120: overlapping "
+                        "1-level vertex-neighborhood Schwarz blocks, "
+                        "exact dense block solves, multiplicative)")
     parser.add_argument("-ncells", type=int, default=8,
                         help="coarse mesh cells (refined nrefs times)")
     args, _ = parser.parse_known_args(argv)
@@ -91,7 +99,19 @@ def main(argv=None):
         mesh = tagged_unit_square(n)
         A, b, sizes = get_system_strip(mesh, data, params, args.width)
         then = time.time()
-        if args.mg_type == "mg":
+        if args.mg_type == "mg" and args.smoother == "patch":
+            # vertex-star patch smoothing: every dof seeds a 1-level
+            # neighborhood Schwarz block (= the star of basis functions
+            # PatchPC assembles), solved exactly and applied
+            # multiplicatively — the standard_schwarz preset's block
+            # construction with idofs = all dofs
+            from ..config import PRESETS
+            idofs = np.arange(sum(sizes))
+            rep = solve_system(A, b, "hazmath_Schwarz", sizes,
+                               idofs=idofs,
+                               params=PRESETS["standard_schwarz"],
+                               tol=1e-10, maxiter=500)
+        elif args.mg_type == "mg":
             rep = solve_system(A, b, "metric_mono", sizes, tol=1e-10,
                                maxiter=500, grid=((n + 1, n + 1), 2))
         else:

@@ -105,15 +105,32 @@ def _shifted(xblk, rolls, lane, padr, rb, off):
     return jnp.where(lane < LANES - s, a, b)
 
 
+NACC = 4   # independent FMA accumulators: break the serial add chain
+           # (VPU ALU latency >> 1/throughput; LLVM won't reassociate fp)
+
+
+def _diag_sum(offs, term_of):
+    """Sum term_of(d, off) over diagonals with NACC round-robin
+    accumulators + a final tree reduce."""
+    accs = [None] * NACC
+    for d, off in enumerate(offs):
+        j = d % NACC
+        t = term_of(d, off)
+        accs[j] = t if accs[j] is None else accs[j] + t
+    accs = [a for a in accs if a is not None]
+    while len(accs) > 1:
+        accs = [accs[i] + accs[i + 1] if i + 1 < len(accs) else accs[i]
+                for i in range(0, len(accs), 2)]
+    return accs[0]
+
+
 def _spmv_kernel(offsets, padr, rb, xpad_ref, data_ref, out_ref):
     i = pl.program_id(0)
     xblk = xpad_ref[pl.ds(i * rb, rb + 2 * padr), :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
     rolls = {}
-    acc = None
-    for d, off in enumerate(offsets):
-        term = data_ref[d] * _shifted(xblk, rolls, lane, padr, rb, off)
-        acc = term if acc is None else acc + term
+    acc = _diag_sum(offsets, lambda d, off: data_ref[d] * _shifted(
+        xblk, rolls, lane, padr, rb, off))
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
@@ -123,10 +140,10 @@ def _residual_kernel(offsets, padr, rb, xpad_ref, bpad_ref, data_ref,
     xblk = xpad_ref[pl.ds(i * rb, rb + 2 * padr), :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
     rolls = {}
-    acc = bpad_ref[pl.ds(i * rb, rb), :].astype(jnp.float32)
-    for d, off in enumerate(offsets):
-        acc = acc - data_ref[d] * _shifted(xblk, rolls, lane, padr, rb, off)
-    out_ref[:] = acc.astype(out_ref.dtype)
+    acc = _diag_sum(offsets, lambda d, off: data_ref[d] * _shifted(
+        xblk, rolls, lane, padr, rb, off))
+    out_ref[:] = (bpad_ref[pl.ds(i * rb, rb), :].astype(jnp.float32)
+                  - acc).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("offsets", "padr", "rb", "interpret"))
@@ -353,11 +370,8 @@ def _cheb_kernel(offsA, offsC, p, rb, nblocks, degree, iters, theta, coefs,
             base = blk * rb
             xblk = src_ref[base:base + rb + 2 * p, :]
             rolls = {}
-            acc = None
-            for dd, off in enumerate(offs):
-                term = buf[slot, dd] * _shifted(xblk, rolls, lane, p, rb,
-                                                off)
-                acc = term if acc is None else acc + term
+            acc = _diag_sum(offs, lambda d, off: buf[slot, d] * _shifted(
+                xblk, rolls, lane, p, rb, off))
             write(base, acc)
 
     def w_t(base, acc):
