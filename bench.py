@@ -4,11 +4,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "nnz/s", "vs_baseline": N}
 
 Workload (BASELINE.md protocol): bidomain_2d monolithic system at n=BENCH_N
-(2 * (n+1)^2 dofs), gamma=1e6, metric_mono preconditioner (HEM aggregation
-+ interface Schwarz + W-cycle), fixed ITERS PCG iterations in float32 on
-the default JAX device.  Throughput counts every stored nonzero touched per
-iteration (fine SpMV + all cycle-visit smoother/residual/transfer work),
-divided by post-compile wall time.
+(2 * (n+1)^2 dofs), gamma=1e6, metric_mono-equivalent preconditioner on
+the structured grid path (V-cycle by default — TPUAMG_BENCH_CYCLE=w for
+the W-cycle preset — nodal-block Chebyshev smoothing, dense coarse
+solve), fixed ITERS PCG iterations in float32 on the default JAX device.
+Throughput counts every stored nonzero touched per iteration (fine SpMV
++ all cycle-visit smoother/residual/transfer work), divided by
+post-compile wall time.
 
 vs_baseline compares against the serial-CPU execution of the same
 algorithm (the reference is a serial CPU solver; BASELINE.json publishes

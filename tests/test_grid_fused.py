@@ -22,12 +22,12 @@ from tpuamg.amg.grid_fused import (setup_grid_fused, grid_system_fused,
 
 
 def _compare(A, dims, F, gamma_label, coarse_dof=60, cheb_degree=3,
-             rtol=2e-5, seed=3):
+             rtol=2e-5, seed=3, cheb_kind=1):
     prm = AMGParameters(cycle_type="v", maxit=1, coarse_dof=coarse_dof,
                         dtype="float32")
     vc, slots, nflat, ref, slots_can = setup_grid_fused(
         A, dims, F=F, params=prm, cheb_degree=cheb_degree,
-        interpret=True, reference=True)
+        cheb_kind=cheb_kind, interpret=True, reference=True)
     rng = np.random.default_rng(seed)
     r = rng.standard_normal(A.shape[0])
     bk = jnp.zeros(nflat, dtype=jnp.float32).at[jnp.asarray(slots)].set(
@@ -159,3 +159,13 @@ def test_wmats_partition():
         # every coarse lane sums exactly two fine positions
         assert np.all(W0.sum(axis=0) + W1.sum(axis=0) == 2.0)
         assert set(np.unique(W0)) <= {0.0, 1.0}
+
+
+def test_fused_matches_reference_fourth_kind():
+    """cheb_kind=4 (fourth-kind Chebyshev smoother) parity between the
+    fused kernel and the plain-JAX reference hierarchy."""
+    p = Params(2.0, 3.0, 1e4)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    mesh = get_mesh(16, 2)
+    A, b, sizes, _ = get_system(mesh, data, p)
+    _compare(A, (17, 17), 2, "kind4", cheb_kind=4)

@@ -40,15 +40,17 @@ from .structured import BlockChebyshevSmoother, DiaChebyshevSmoother
 class ChebyshevDiagSmoother:
     """Chebyshev on D^{-1}A with a masked diagonal (coarse grid levels)."""
 
-    def __init__(self, invd, mask, lmax, lmin, degree=3):
+    def __init__(self, invd, mask, lmax, lmin, degree=3, kind=1):
         self.invd = invd
         self.mask = mask
         self.lmax = lmax
         self.lmin = lmin
         self.degree = degree
+        self.kind = kind
 
     def tree_flatten(self):
-        return ((self.invd, self.mask), (self.lmax, self.lmin, self.degree))
+        return ((self.invd, self.mask), (self.lmax, self.lmin,
+                                         self.degree, self.kind))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -200,7 +202,7 @@ def resolve_pallas(pallas):
 def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
                params: AMGParameters = AMGParameters(),
                dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
-               storage_dtype=None, pallas=None):
+               cheb_kind=1, storage_dtype=None, pallas=None):
     """Build the grid hierarchy for a field-stacked structured-grid system.
 
     A_host: monolithic operator in *field-major* order ([u1-block; u2-...]);
@@ -263,23 +265,26 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
                 # whole degree-k smoother sweep = ONE kernel launch
                 smoother = FusedChebSmoother.build(
                     A_dia, C_dia, 1.1 * lmax, 1.1 * lmax / cheb_ratio,
-                    cheb_degree, interpret=interpret)
+                    cheb_degree, kind=cheb_kind, interpret=interpret)
             else:   # too big for VMEM-resident vectors: launch-per-op
                 C = PDIA.from_dia(C_dia, interpret=interpret)
                 smoother = DiaChebyshevSmoother(
-                    C, 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+                    C, 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
+                    kind=cheb_kind)
             Adev = PDIA.from_dia(A_dia, interpret=interpret)
         elif F > 1:
             smoother = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=sdtype),
                 jnp.asarray(mask_np, dtype=dtype),
-                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
+                kind=cheb_kind)
             Adev = DIA.from_host(A, dtype=sdtype)
         else:
             smoother = ChebyshevDiagSmoother(
                 jnp.asarray(blockinv.reshape(-1), dtype=dtype),
                 jnp.asarray(mask_np, dtype=dtype),
-                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
+                kind=cheb_kind)
             Adev = DIA.from_host(A, dtype=sdtype)
         levels.append(GridLevel(
             Adev, smoother,

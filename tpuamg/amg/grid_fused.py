@@ -965,7 +965,8 @@ def pcg_fused(fp: FusedPCG, b, tol=1e-8, maxiter=500, chunk=32,
 
 def setup_grid_fused_pcg(A_host: HostCSR, dims, F=1, mask=None,
                          params: AMGParameters = AMGParameters(),
-                         cheb_degree=3, cheb_ratio=8.0, storage_dtype=None,
+                         cheb_degree=3, cheb_ratio=8.0, cheb_kind=1,
+                         storage_dtype=None,
                          rb=64, nbuf=4, interpret=False):
     """FusedVCycle + outer-operator planes -> (FusedPCG, slots, nflat).
 
@@ -974,8 +975,8 @@ def setup_grid_fused_pcg(A_host: HostCSR, dims, F=1, mask=None,
     vc, slots, nflat = setup_grid_fused(
         A_host, dims, F=F, mask=mask, params=params,
         cheb_degree=cheb_degree, cheb_ratio=cheb_ratio,
-        storage_dtype=storage_dtype, rb=rb, nbuf=nbuf,
-        interpret=interpret)
+        cheb_kind=cheb_kind, storage_dtype=storage_dtype, rb=rb,
+        nbuf=nbuf, interpret=interpret)
     S0 = vc.spec.levels[0]
     r, c, v = A_host.to_coo()
     Ak = HostCSR.from_coo(slots[r], slots[c], v, (nflat, nflat))
@@ -1157,7 +1158,8 @@ def _plan_padr(offsets):
 
 def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
                      params: AMGParameters = AMGParameters(),
-                     cheb_degree=3, cheb_ratio=8.0, storage_dtype=None,
+                     cheb_degree=3, cheb_ratio=8.0, cheb_kind=1,
+                     storage_dtype=None,
                      rb=64, nbuf=4, interpret=False, reference=False):
     """Build the fused whole-V-cycle hierarchy.
 
@@ -1234,7 +1236,7 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
             (A.shape[0], A.shape[0])), kslots, nflat)
         offsC, dataC = _dia_np(Ck)
         theta, coefs = _cheb_coefs(1.1 * lmax, 1.1 * lmax / cheb_ratio,
-                                   cheb_degree)
+                                   cheb_degree, cheb_kind)
         padr = _plan_padr(offsA + offsC)
         nblocks = rows_p // rb
         levels_spec.append(_LevelSpec(
@@ -1259,7 +1261,8 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
             sm = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=jnp.float64),
                 jnp.asarray(mask_np, dtype=jnp.float64),
-                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
+                kind=cheb_kind)
             ref_levels.append(_PadGridLevel(
                 DIA.from_host(A, dtype=jnp.float64), sm,
                 jnp.asarray(mask_np, dtype=jnp.float64), dims_p, F,

@@ -55,18 +55,21 @@ from .hierarchy import MGPreconditioner
 
 @jax.tree_util.register_pytree_node_class
 class BlockChebyshevSmoother:
-    """Chebyshev polynomial smoother on B^{-1}A, B = slot-block diagonal."""
+    """Chebyshev polynomial smoother on B^{-1}A, B = slot-block diagonal.
 
-    def __init__(self, blockinv, mask, lmax, lmin, degree=3):
+    kind=1 classical / kind=4 fourth-kind (sparse.dia_pallas._cheb_coefs)."""
+
+    def __init__(self, blockinv, mask, lmax, lmin, degree=3, kind=1):
         self.blockinv = blockinv    # (n_groups, s, s)
         self.mask = mask            # (n_slots,) 1.0 real / 0.0 ghost
         self.lmax = lmax
         self.lmin = lmin
         self.degree = degree
+        self.kind = kind
 
     def tree_flatten(self):
         return ((self.blockinv, self.mask), (self.lmax, self.lmin,
-                                             self.degree))
+                                             self.degree, self.kind))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -80,20 +83,17 @@ class BlockChebyshevSmoother:
                 * self.mask)
 
     def smooth(self, A: DIA, x, b, iters=1, reverse=False):
-        theta = 0.5 * (self.lmax + self.lmin)
-        delta = 0.5 * (self.lmax - self.lmin)
-        sigma1 = theta / delta
+        from ..sparse.dia_pallas import _cheb_coefs
+        theta, coefs = _cheb_coefs(self.lmax, self.lmin, self.degree,
+                                   getattr(self, "kind", 1))
         for _ in range(iters):
-            rho = 1.0 / sigma1
             # A.residual is one fused Pallas launch on the PDIA path
             r = self._binv(A.residual(x, b))
             d = r / theta
-            for _k in range(1, self.degree):
+            for ak, ck in coefs:
                 x = x + d
                 r = self._binv(A.residual(x, b))
-                rho_new = 1.0 / (2.0 * sigma1 - rho)
-                d = rho_new * rho * d + (2.0 * rho_new / delta) * r
-                rho = rho_new
+                d = ak * d + ck * r
             x = x + d
         return x
 
@@ -105,14 +105,15 @@ class DiaChebyshevSmoother:
     Pallas path each Chebyshev step is exactly TWO fused kernel launches
     (residual + C apply) instead of ~3*ndiags + F^2 XLA ops."""
 
-    def __init__(self, C, lmax, lmin, degree=3):
+    def __init__(self, C, lmax, lmin, degree=3, kind=1):
         self.C = C                  # DIA or PDIA, mask rows folded in
         self.lmax = lmax
         self.lmin = lmin
         self.degree = degree
+        self.kind = kind
 
     def tree_flatten(self):
-        return ((self.C,), (self.lmax, self.lmin, self.degree))
+        return ((self.C,), (self.lmax, self.lmin, self.degree, self.kind))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -534,7 +535,7 @@ def hem_tree_slots(A_host: HostCSR, coords, theta=0.1, max_rounds=30,
 def setup_structured(A_host: HostCSR, coords,
                      params: AMGParameters = AMGParameters(),
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
-                     pairs=None, pallas=None, idofs=None,
+                     cheb_kind=1, pairs=None, pallas=None, idofs=None,
                      order="morton", algebraic_below=0, fp_maxlvl=1):
     """Build the gather-free structured hierarchy.
 
@@ -649,7 +650,8 @@ def setup_structured(A_host: HostCSR, coords,
             smoother = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=dtype),
                 jnp.asarray(mask, dtype=dtype),
-                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
+                kind=cheb_kind)
             if fp_schwarz is not None:
                 smoother = FootprintMetricSmoother(fp_schwarz, smoother)
         elif use_pallas:
@@ -667,17 +669,19 @@ def setup_structured(A_host: HostCSR, coords,
                     ) < FUSED_VMEM_BUDGET:
                 smoother = FusedChebSmoother.build(
                     A_dia, C_dia, 1.1 * lmax, 1.1 * lmax / cheb_ratio,
-                    cheb_degree, interpret=interpret)
+                    cheb_degree, kind=cheb_kind, interpret=interpret)
             else:
                 C = PDIA.from_dia(C_dia, interpret=interpret)
                 smoother = DiaChebyshevSmoother(
-                    C, 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+                    C, 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
+                    kind=cheb_kind)
             Adev = PDIA.from_dia(A_dia, interpret=interpret)
         else:
             smoother = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=dtype),
                 jnp.asarray(mask, dtype=dtype),
-                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree)
+                1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
+                kind=cheb_kind)
             Adev = DIA.from_host(A, dtype=dtype)
         levels.append(StructuredLevel(
             Adev, smoother,

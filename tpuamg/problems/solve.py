@@ -186,9 +186,12 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                                           grid_system_fused,
                                           fused_operator)
             interp = (pallas == "fused_interpret")
-            if method == "cg":
-                # whole-chunk fused PCG: complete iterations (outer
-                # SpMV + dots + updates + V-cycle) per kernel launch
+            # whole-chunk fused PCG: complete iterations (outer SpMV +
+            # dots + updates + V-cycle) per kernel launch.  Wins where
+            # per-iteration dispatch/XLA glue dominates (measured +21%
+            # at 132k dofs) and loses to launch-per-apply once the
+            # kernel passes dominate (-14% at 526k) — size-gated.
+            if method == "cg" and A.shape[0] <= 300_000:
                 try:
                     fp, slots, nsl = setup_grid_fused_pcg(
                         A, dims, F=F, params=prm, interpret=interp)

@@ -327,7 +327,26 @@ def default_backend_is_tpu():
 # traffic = degree * nnz(A) reads — the bandwidth lower bound — with zero
 # intermediate launches (vs ~(3*ndiags + F^2) XLA ops per step).
 
-def _cheb_coefs(lmax, lmin, degree):
+def _cheb_coefs(lmax, lmin, degree, kind=1):
+    """Coefficients of the degree-`degree` polynomial smoother recurrence
+
+        d_1 = r_0 / theta;   d_k = a_k d_{k-1} + c_k r_{k-1};  x += d_k
+
+    kind=1: classical first-kind Chebyshev on [lmin, lmax].
+    kind=4: fourth-kind Chebyshev (Lottes, 'Optimal polynomial smoothers
+    for multigrid', arXiv:2202.08830 family — see PAPERS.md): needs only
+    the UPPER spectral bound (lmin ignored), damps the whole [0, lmax]
+    band as a smoother should, and typically beats first-kind inside
+    multigrid where the smoother must complement coarse correction
+    rather than minimize the residual on a band."""
+    if kind == 4:
+        theta = 0.75 * lmax                       # d_1 = 4/(3 lmax) r_0
+        coefs = []
+        for k in range(1, degree):
+            ak = (2.0 * k - 1.0) / (2.0 * k + 3.0)
+            ck = (8.0 * k + 4.0) / ((2.0 * k + 3.0) * lmax)
+            coefs.append((float(ak), float(ck)))
+        return float(theta), tuple(coefs)
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     sigma1 = theta / delta
@@ -473,7 +492,7 @@ class FusedChebSmoother:
     matching Chebyshev's self-adjointness in the B inner product."""
 
     def __init__(self, dataA4, offsA, dataC4, offsC, n, padr, rb,
-                 lmax, lmin, degree=3, interpret=False):
+                 lmax, lmin, degree=3, kind=1, interpret=False):
         self.dataA4 = dataA4
         self.dataC4 = dataC4
         self.offsA = tuple(int(o) for o in offsA)
@@ -484,22 +503,25 @@ class FusedChebSmoother:
         self.lmax = lmax
         self.lmin = lmin
         self.degree = int(degree)
+        self.kind = int(kind)
         self.interpret = bool(interpret)
 
     def tree_flatten(self):
         return ((self.dataA4, self.dataC4),
                 (self.offsA, self.offsC, self.n, self.padr, self.rb,
-                 self.lmax, self.lmin, self.degree, self.interpret))
+                 self.lmax, self.lmin, self.degree, self.kind,
+                 self.interpret))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         dataA4, dataC4 = ch
-        offsA, offsC, n, padr, rb, lmax, lmin, degree, interpret = aux
+        (offsA, offsC, n, padr, rb, lmax, lmin, degree, kind,
+         interpret) = aux
         return cls(dataA4, offsA, dataC4, offsC, n, padr, rb, lmax, lmin,
-                   degree, interpret)
+                   degree, kind, interpret)
 
     @classmethod
-    def build(cls, A_dia: DIA, C_dia: DIA, lmax, lmin, degree=3,
+    def build(cls, A_dia: DIA, C_dia: DIA, lmax, lmin, degree=3, kind=1,
               interpret=False):
         n = A_dia.shape[0]
         all_offs = tuple(A_dia.offsets) + tuple(C_dia.offsets)
@@ -507,7 +529,7 @@ class FusedChebSmoother:
         dataA4 = _pack_blocks(A_dia.data, n, nrows, rb)
         dataC4 = _pack_blocks(C_dia.data, n, nrows, rb)
         return cls(dataA4, A_dia.offsets, dataC4, C_dia.offsets, n,
-                   padr, rb, lmax, lmin, degree, interpret)
+                   padr, rb, lmax, lmin, degree, kind, interpret)
 
     def smooth(self, A, x, b, iters=1, reverse=False):
         del A, reverse
@@ -516,7 +538,8 @@ class FusedChebSmoother:
         p = self.padr * LANES
         xpad2 = jnp.pad(x, (p, p + nrows * LANES - n)).reshape(-1, LANES)
         b2 = jnp.pad(b, (0, nrows * LANES - n)).reshape(-1, LANES)
-        theta, coefs = _cheb_coefs(self.lmax, self.lmin, self.degree)
+        theta, coefs = _cheb_coefs(self.lmax, self.lmin, self.degree,
+                                   getattr(self, "kind", 1))
         y2 = _cheb_call(self.offsA, self.offsC, self.padr, self.rb,
                         self.degree, int(iters), theta, coefs,
                         self.interpret, xpad2, b2, self.dataA4, self.dataC4)
@@ -531,7 +554,8 @@ class FusedChebSmoother:
         p = self.padr * LANES
         xpad2 = jnp.pad(x, (p, p + nrows * LANES - n)).reshape(-1, LANES)
         b2 = jnp.pad(b, (0, nrows * LANES - n)).reshape(-1, LANES)
-        theta, coefs = _cheb_coefs(self.lmax, self.lmin, self.degree)
+        theta, coefs = _cheb_coefs(self.lmax, self.lmin, self.degree,
+                                   getattr(self, "kind", 1))
         y2, r2 = _cheb_call(self.offsA, self.offsC, self.padr, self.rb,
                             self.degree, int(iters), theta, coefs,
                             self.interpret, xpad2, b2, self.dataA4,
