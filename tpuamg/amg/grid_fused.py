@@ -392,19 +392,38 @@ def _cycle_machine(spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
 
     def coarse_solve(rc):
         # ---- coarse dense solve: x_c[R] = b_flat @ T[R] -------------
-        # (single-buffered stream: the inverse is read once per cycle;
-        # saving the second buffer matters more than hiding ~rows_c
-        # small DMA latencies)
+        # T streams in double-buffered column chunks: with the
+        # TPU-optimal LARGE coarse spaces (dense MXU solves run at
+        # near-bandwidth, unlike the shuffle-bound sweeps — so truncate
+        # the hierarchy early) T is the biggest per-cycle transfer.
+        # Cast on use: T may be stored reduced-precision (bf16); the
+        # coarse solve is part of the preconditioner, where storage
+        # rounding costs ~nothing (docs/PERF_NOTES.md).
         bflat = rc.reshape(1, spec.nc)
-        for R in range(spec.rows_c):
-            cp = pltpu.make_async_copy(T_ref.at[R], bufT.at[0],
-                                       semT.at[0])
-            cp.start()
-            cp.wait()
-            # cast: T may be stored reduced-precision (bf16); the
-            # coarse solve is part of the preconditioner, where
-            # storage rounding costs ~nothing (docs/PERF_NOTES.md)
-            xc[R:R + 1, :] = _dot(bflat, bufT[0].astype(jnp.float32))
+        tch = int(bufT.shape[1])
+        tiles = [(R, ch, min(tch, spec.nc - ch))
+                 for R in range(spec.rows_c)
+                 for ch in range(0, spec.nc, tch)]
+
+        def tdma(slot, t):
+            R, ch, cl = t
+            return pltpu.make_async_copy(
+                T_ref.at[R, pl.ds(ch, cl)], bufT.at[slot, pl.ds(0, cl)],
+                semT.at[slot])
+
+        tdma(0, tiles[0]).start()
+        acc = None
+        for k, t in enumerate(tiles):
+            slot = k % 2
+            if k + 1 < len(tiles):
+                tdma((k + 1) % 2, tiles[k + 1]).start()
+            tdma(slot, t).wait()
+            R, ch, cl = t
+            part = _dot(bflat[:, ch:ch + cl],
+                        bufT[slot, 0:cl, :].astype(jnp.float32))
+            acc = part if ch == 0 else acc + part
+            if ch + cl >= spec.nc:
+                xc[R:R + 1, :] = acc
 
     def cycle():
         # ---- down sweep ---------------------------------------------
@@ -493,12 +512,12 @@ def _mega_call(spec: _CycleSpec, interpret, W0, W1, W0T, W1T, b2,
         pltpu.VMEM((D, ndC, rb, LANES), C_planes[0].dtype),    # bufC
         pltpu.VMEM((D, rb, LANES), b2.dtype),                  # bufB
         pltpu.VMEM((D, rb, LANES), M_planes[0].dtype),         # bufM
-        pltpu.VMEM((1, spec.nc, LANES), T.dtype),              # bufT
+        pltpu.VMEM((2, min(spec.nc, 2048), LANES), T.dtype),   # bufT
         pltpu.SemaphoreType.DMA((D,)),
         pltpu.SemaphoreType.DMA((D,)),
         pltpu.SemaphoreType.DMA((D,)),
         pltpu.SemaphoreType.DMA((D,)),
-        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     with jax.enable_x64(False):
         out = pl.pallas_call(
@@ -529,7 +548,7 @@ def fused_vmem_bytes(spec: _CycleSpec, itemA=4, itemC=4):
     total += D * ndA * spec.rb * LANES * itemA
     total += D * ndC * spec.rb * LANES * itemC
     total += 2 * D * spec.rb * LANES * f32
-    total += spec.nc * LANES * itemA
+    total += 2 * min(spec.nc, 2048) * LANES * itemA
     total += 4 * LANES * LANES * f32
     return total
 
@@ -808,12 +827,12 @@ def _pcg_call(spec: _CycleSpec, pspec: _PCGSpec, interpret, W0, W1, W0T,
         pltpu.VMEM((D, ndC, rb, LANES), C_planes[0].dtype),    # bufC
         pltpu.VMEM((D, rb, LANES), f32),                       # bufB
         pltpu.VMEM((D, rb, LANES), M_planes[0].dtype),         # bufM
-        pltpu.VMEM((1, spec.nc, LANES), T.dtype),              # bufT
+        pltpu.VMEM((2, min(spec.nc, 2048), LANES), T.dtype),   # bufT
         pltpu.SemaphoreType.DMA((D,)),
         pltpu.SemaphoreType.DMA((D,)),
         pltpu.SemaphoreType.DMA((D,)),
         pltpu.SemaphoreType.DMA((D,)),
-        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.SemaphoreType.DMA((2,)),
         pltpu.VMEM((D, ndQ, rb, LANES), f32),                  # bufQ
         pltpu.VMEM((D, rb + 2 * p0, LANES), f32),              # bufP
         pltpu.VMEM((D, rb, LANES), f32),                       # bufX
@@ -1014,7 +1033,7 @@ def fused_pcg_vmem_bytes(cspec: _CycleSpec, ndQ, itemA, chunk_max=128):
     total += D * ndC * rb * LANES * itemA              # bufC
     total += D * rb * LANES * f32                      # bufB
     total += D * rb * LANES * itemA                    # bufM
-    total += cspec.nc * LANES * itemA                  # bufT
+    total += 2 * min(cspec.nc, 2048) * LANES * itemA   # bufT
     total += D * ndQ * rb * LANES * f32                # bufQ
     total += D * (rb + 2 * S0.padr) * LANES * f32      # bufP
     total += D * rb * LANES * f32                      # bufX
