@@ -21,3 +21,26 @@ def enable_compilation_cache(path=None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
+
+
+class profile_trace:
+    """Device-trace context: `with tpuamg.profile_trace("/tmp/tr"): ...`
+    writes a TensorBoard-compatible jax.profiler trace (per-kernel device
+    timelines) — the TPU-native equivalent of the reference's wall-clock
+    timers and HAZmath print_level breakdowns (SURVEY.md §5.1).  NOTE on
+    the remote ("axon") runtime wall-clock timings are only trustworthy
+    when bracketed by value fetches (docs/PERF_NOTES.md)."""
+
+    def __init__(self, logdir):
+        self.logdir = str(logdir)
+
+    def __enter__(self):
+        import jax
+        os.makedirs(self.logdir, exist_ok=True)
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
