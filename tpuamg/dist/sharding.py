@@ -32,6 +32,24 @@ from ..smoothers import (JacobiSmoother, L1JacobiSmoother,
                          MetricSmoother)
 
 
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None):
+    """Multi-host bring-up: `jax.distributed.initialize` with env-based
+    defaults (JAX_COORDINATOR_ADDRESS etc. / TPU pod auto-detection),
+    then return the global device mesh.  After this, every host runs the
+    SAME program over jax.devices() spanning all hosts — the mesh axes
+    ride ICI within a slice and DCN across slices; no further code
+    changes (the sharded solvers below are host-count agnostic).
+    Idempotent: safe to call when already initialized or single-host."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass   # already initialized / single-process
+    return device_mesh()
+
+
 def device_mesh(n_devices=None, devices=None):
     if devices is None:
         devices = jax.devices()[:n_devices] if n_devices else jax.devices()
