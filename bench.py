@@ -30,9 +30,11 @@ RB = int(os.environ.get("TPUAMG_BENCH_RB", "64"))
 NBUF = int(os.environ.get("TPUAMG_BENCH_NBUF", "4"))
 GAMMA = 1e6
 # serial-CPU throughput of this same workload on the dev host (2-vCPU),
-# measured with JAX_PLATFORMS=cpu on the identical n=512 V-cycle config —
-# the stand-in for the reference's serial CPU solve (BASELINE.md:
-# reference publishes no numbers)
+# measured with JAX_PLATFORMS=cpu TPUAMG_BENCH_FUSED=0 — the stand-in for
+# the reference's serial CPU solve (BASELINE.md: reference publishes no
+# numbers).  Pinned CONSERVATIVELY: 6.55e8 at the coarse_dof=2048 config;
+# the current 4096-coarse default measures 5.04e8 on CPU (dense coarse
+# work is slower there), so vs_baseline is understated, not inflated.
 CPU_BASELINE_NNZ_PER_S = 6.55e8
 
 

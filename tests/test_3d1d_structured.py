@@ -110,3 +110,34 @@ def test_hem_banded_ordering():
                        idofs=idofs, pallas=False,
                        structured_order="hem_banded:8")
     assert rep.converged, rep.niters
+
+
+def test_rank1_schur_footprint_moderate_gamma():
+    """Rank-1 Schur footprint smoother (O(m) storage per block,
+    smoothers/schwarz.Rank1SchurSmoother): converges at moderate gamma;
+    exact-inverse LocalSchwarz remains the high-gamma path (the class
+    docstring records the measured limits)."""
+    A, b, sizes, coords = _system(1e4)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    prm = AMGParameters(cycle_type="v", dtype="float64",
+                        schwarz_levels=2)
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm, tol=1e-8,
+                       maxiter=100, structured_coords=coords,
+                       idofs=idofs, pallas=False)
+    from tpuamg.amg.structured import setup_structured, structured_system
+    from tpuamg.sparse.dia import dia_matvec_op
+    from tpuamg.amg import as_operator
+    from tpuamg.krylov import pcg
+    import jax.numpy as _jnp
+    prec, slots, nsl = setup_structured(A, coords, prm,
+                                        dtype=_jnp.float64, pallas=False,
+                                        idofs=idofs, fp_solver="rank1")
+    Aop = dia_matvec_op(structured_system(A, slots, nsl,
+                                          dtype=_jnp.float64,
+                                          idofs=idofs))
+    bj = _jnp.zeros(nsl, _jnp.float64).at[_jnp.asarray(slots)].set(
+        _jnp.asarray(b))
+    r = pcg(Aop, bj, M=as_operator(prec), tol=1e-8, maxiter=100)
+    assert r.converged and r.niters <= 2.5 * max(rep.niters, 10), (
+        r.niters, rep.niters)

@@ -536,7 +536,8 @@ def setup_structured(A_host: HostCSR, coords,
                      params: AMGParameters = AMGParameters(),
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
                      cheb_kind=1, pairs=None, pallas=None, idofs=None,
-                     order="morton", algebraic_below=0, fp_maxlvl=1):
+                     order="morton", algebraic_below=0, fp_maxlvl=1,
+                     fp_solver="exact"):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -629,8 +630,11 @@ def setup_structured(A_host: HostCSR, coords,
             # traces ~300 XLA ops per color x O(10) colors (footprints
             # overlap ~10 deep along the curve): 28-minute compiles.
             # (See FootprintMetricSmoother for why not additive/PoU.)
-            from ..smoothers.schwarz import build_local_schwarz
-            fp_schwarz = build_local_schwarz(
+            from ..smoothers.schwarz import (build_local_schwarz,
+                                             build_rank1_schur)
+            builder = {"exact": build_local_schwarz,
+                       "rank1": build_rank1_schur}[fp_solver]
+            fp_schwarz = builder(
                 A, seeds=fp_seeds, maxlvl=fp_maxlvl,
                 mmsize=max(params.schwarz_mmsize,
                            max(len(b) for b in fp_blocks) + 1),

@@ -335,3 +335,151 @@ def build_local_schwarz(A_host: HostCSR, seeds, maxlvl=1, mmsize=200,
         rc_c.append(jnp.asarray(rcols))
         rv_c.append(jnp.asarray(rvals, dtype=dtype))
     return LocalSchwarzSmoother(ids_c, inv_c, rc_c, rv_c, symmetric)
+
+
+@jax.tree_util.register_pytree_node_class
+class Rank1SchurSmoother:
+    """Footprint smoother with O(|footprint|) storage per block.
+
+    LocalSchwarzSmoother stores a dense inverse per block — nb*m^2
+    values, which at real-neuron scale (1e4 curve dofs x ~200-dof
+    footprints) is GBs re-read every application.  Here each block
+    (seed curve dof s + footprint f) is solved with the structured
+    approximation
+
+        B = [[a, w^T], [w, E]],   E = D_l1 + w w^T / a
+
+    where a = A[s,s], w = A[s,f] (the gamma-coupling row) and D_l1 the
+    l1 row-sum diagonal.  The 3D-1D gamma block is EXACTLY rank-1
+    (gamma*m*[1; -pi][1; -pi]^T with pi the averaging weights), and
+    w w^T / a reproduces it: the approximation is gamma-exact while
+    D_l1 >= A bounds the gamma-free remainder, so B is SPD and the
+    update never overshoots.  B^{-1} applies in O(m) via
+    Sherman-Morrison (t = w^T D^{-1} w, denom = a + t):
+
+        E^{-1} v  = D^{-1} v - D^{-1} w (w^T D^{-1} v) / denom
+        schur     = a - w^T E^{-1} w = a^2 / denom
+        alpha     = (r_s - w^T E^{-1} r_f) / schur
+        delta_f   = E^{-1}(r_f - w alpha),   delta_s = alpha
+
+    Storage/bandwidth: 2 vectors + 1 scalar per block instead of m^2.
+    Same colored-multiplicative application machinery (local residuals
+    from padded row data) as LocalSchwarzSmoother; dof_ids[:, 0] is the
+    seed by construction.
+
+    STATUS (measured, 3D-1D synthetic neuron): gamma-robust up to
+    ~1e4 (25 PCG iterations vs 13 for the exact block inverses); NOT
+    yet robust at gamma >= 1e8 — the l1 diagonal double-counts the
+    block's own gamma terms (they sit in BOTH D_l1 and w w^T/a),
+    over-damping the coupled direction, and footprint overlaps put
+    gamma weight on in-block 3D-3D off-diagonals the model drops.
+    The Sherman-Morrison solve itself is exact for the modeled block
+    (unit-tested).  Use LocalSchwarzSmoother (exact) where its nb*m^2
+    storage fits; this class is the storage-light research direction
+    for real-neuron scale (CLAUDE.md backlog)."""
+
+    def __init__(self, dof_ids, dinv, w, aseed, row_cols, row_vals,
+                 symmetric=True):
+        self.dof_ids = tuple(dof_ids)        # per color: (nb, m)
+        self.dinv = tuple(dinv)              # per color: (nb, m); [.,0]=0
+        self.w = tuple(w)                    # per color: (nb, m); [.,0]=0
+        self.aseed = tuple(aseed)            # per color: (nb,)
+        self.row_cols = tuple(row_cols)      # per color: (nb, m, K)
+        self.row_vals = tuple(row_vals)
+        self.symmetric = symmetric
+
+    def tree_flatten(self):
+        return ((self.dof_ids, self.dinv, self.w, self.aseed,
+                 self.row_cols, self.row_vals), (self.symmetric,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        ids, dinv, w, aseed, rc, rv = ch
+        return cls(ids, dinv, w, aseed, rc, rv, aux[0])
+
+    def _color_update(self, x, b, c):
+        xpad = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+        bpad = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
+        ax = jnp.einsum("bmk,bmk->bm", self.row_vals[c],
+                        xpad[self.row_cols[c]])
+        r = bpad[self.dof_ids[c]] - ax
+        dinv, w, a = self.dinv[c], self.w[c], self.aseed[c]
+        t = jnp.sum(w * dinv * w, axis=1)
+        denom = a + t
+        wdr = jnp.sum(w * dinv * r, axis=1)
+        # alpha = (r_s - w^T E^{-1} r_f)/(a^2/denom); w^T E^{-1} r_f =
+        # wdr * a/denom  =>  alpha = (denom*r_s - a*wdr)/a^2
+        alpha = (denom * r[:, 0] - a * wdr) / (a * a)
+        v = r - w * alpha[:, None]
+        wdv = wdr - t * alpha             # = sum(w*dinv*v)
+        delta = dinv * v - (dinv * w) * (wdv / denom)[:, None]
+        delta = delta.at[:, 0].set(alpha)
+        xpad = xpad.at[self.dof_ids[c].reshape(-1)].add(
+            delta.reshape(-1).astype(x.dtype))
+        return xpad[:-1]
+
+    smooth = LocalSchwarzSmoother.smooth
+
+
+def build_rank1_schur(A_host: HostCSR, seeds, maxlvl=1, mmsize=200,
+                      symmetric=True, dtype=jnp.float32):
+    """Rank1SchurSmoother from the host matrix (blocks = maxlvl-balls
+    around the seeds, seed-first ordering, per-color padded row data)."""
+    n = A_host.shape[0]
+    seeds = np.asarray(seeds, dtype=np.int64)
+    blocks = _bfs_blocks(A_host, seeds, maxlvl, mmsize)
+    blocks = [np.concatenate([[s], blk[blk != s]])
+              for s, blk in zip(seeds, blocks)]
+    colors = _color_blocks(blocks, n)
+    ncol = int(colors.max()) + 1 if len(blocks) else 0
+    m = max((len(b) for b in blocks), default=1)
+    indptr, indices, data = A_host.indptr, A_host.indices, A_host.data
+    K = int(max((indptr[i + 1] - indptr[i] for blk in blocks
+                 for i in blk), default=1))
+    diag = A_host.diagonal()
+    # l1 row sums: D_l1 >= A in the SPD sense, so the footprint part of
+    # the approximate block solve cannot overshoot (a plain-diagonal D
+    # underestimates the rank-1 gamma coupling inside the footprint and
+    # the update diverges at large gamma -> indefinite preconditioner)
+    l1 = np.zeros(n)
+    np.add.at(l1, np.repeat(np.arange(n), np.diff(indptr_ := A_host.indptr)),
+              np.abs(A_host.data))
+    ids_c, di_c, w_c, sh_c, rc_c, rv_c = [], [], [], [], [], []
+    for c in range(ncol):
+        bids = [blocks[i] for i in np.flatnonzero(colors == c)]
+        nb = len(bids)
+        ids = np.full((nb, m), n, dtype=np.int32)
+        dinv = np.zeros((nb, m))
+        w = np.zeros((nb, m))
+        aseed = np.ones(nb)
+        rcols = np.full((nb, m, K), n, dtype=np.int32)
+        rvals = np.zeros((nb, m, K))
+        for k, blk in enumerate(bids):
+            sz = len(blk)
+            s = blk[0]
+            ids[k, :sz] = blk
+            dj = l1[blk[1:]]
+            dinv[k, 1:sz] = np.where(dj != 0, 1.0 / np.where(
+                dj == 0, 1.0, dj), 0.0)
+            # seed row restricted to the footprint (w[0] stays 0)
+            lo, hi = indptr[s], indptr[s + 1]
+            cols = indices[lo:hi]
+            vals = data[lo:hi]
+            pos = {int(d): t for t, d in enumerate(blk)}
+            for cc, vv in zip(cols, vals):
+                t = pos.get(int(cc))
+                if t is not None and t > 0:
+                    w[k, t] = vv
+            aseed[k] = diag[s] if diag[s] != 0 else 1.0
+            for t, i in enumerate(blk):
+                lo, hi = indptr[i], indptr[i + 1]
+                rcols[k, t, :hi - lo] = indices[lo:hi]
+                rvals[k, t, :hi - lo] = data[lo:hi]
+        ids_c.append(jnp.asarray(ids))
+        di_c.append(jnp.asarray(dinv, dtype=dtype))
+        w_c.append(jnp.asarray(w, dtype=dtype))
+        sh_c.append(jnp.asarray(aseed, dtype=dtype))
+        rc_c.append(jnp.asarray(rcols))
+        rv_c.append(jnp.asarray(rvals, dtype=dtype))
+    return Rank1SchurSmoother(ids_c, di_c, w_c, sh_c, rc_c, rv_c,
+                              symmetric)
