@@ -146,6 +146,22 @@ def test_minres_gmres_agree(poisson):
     assert np.linalg.norm(b - A.matvec(x2)) / np.linalg.norm(b) < 1e-8
 
 
+def test_gmres_diagnostics(poisson):
+    """GMRES must report per-iteration residual history and exact niters
+    at mid-cycle convergence (the CG/MinRes diagnostics contract)."""
+    A, b = poisson
+    Ae = ELL.from_host(A, dtype=jnp.float64)
+    r = gmres(matvec_op(Ae), b, tol=1e-10, maxiter=400, restart=50)
+    assert r.converged
+    # history covers every Arnoldi step, not whole restart cycles
+    assert len(r.residuals) == r.niters + 1
+    # converged mid-cycle: niters is not forced to a restart multiple
+    assert r.niters % 50 != 0
+    # reported final residual consistent with the tolerance
+    assert r.residuals[-1] <= 1e-10 * r.residuals[0]
+    assert np.all(np.isfinite(r.residuals))
+
+
 def test_cg_lanczos_cond_estimate():
     """Condition estimate from CG must approximate the true spectrum for a
     small SPD matrix (cbc.block eigenvalue_estimates parity)."""

@@ -3,8 +3,14 @@
 Completes the reference's Krylov selector (CG/MINRES/GMRES,
 ``/root/reference/src/input_metric.dat`` linear_itsolver_type) for
 nonsymmetric operators.  Fixed-size Krylov basis per restart cycle keeps
-shapes static under jit; Arnoldi via modified Gram-Schmidt inside
-``lax.fori_loop``.
+shapes static under jit; Arnoldi via CGS2 inside ``lax.fori_loop``.
+
+Diagnostics contract matches the CG/MinRes standard in this package:
+per-iteration residual history and exact ``niters`` at mid-cycle
+convergence.  The device program is one Arnoldi cycle (static shapes);
+the (m+1, m) Hessenberg least-squares problems — one per Arnoldi step,
+needed for the per-step residual norms — are solved on host where an
+m<=30 triangular solve is free.
 """
 from __future__ import annotations
 
@@ -21,12 +27,12 @@ class GmresResult:
     x: object
     niters: int
     converged: bool
-    residuals: np.ndarray
+    residuals: np.ndarray    # preconditioned-residual norm per iteration
 
 
 @partial(jax.jit, static_argnames=("restart",))
-def _gmres_cycle(A, M, b, x0, restart):
-    """One GMRES(restart) cycle. Returns (x_new, resnorm_new)."""
+def _arnoldi_cycle(A, M, b, x0, restart):
+    """One Arnoldi build of size ``restart``: returns (V, H, beta)."""
     dtype = b.dtype
     n = b.shape[0]
     m = restart
@@ -56,17 +62,54 @@ def _gmres_cycle(A, M, b, x0, restart):
         return (V, H)
 
     V, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, H))
-    # least squares min ||beta e1 - H y||
-    e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
-    y, *_ = jnp.linalg.lstsq(H, e1)
-    x = x0 + V[:m].T @ y
-    res = jnp.linalg.norm(M(b - A(x)))
-    return x, res
+    return V, H, beta
+
+
+@jax.jit
+def _apply_update(V, x0, y_pad):
+    """x = x0 + V[:m].T @ y (y zero-padded to m keeps shapes static)."""
+    return x0 + V[:-1].T @ y_pad
+
+
+def _hessenberg_residuals(H, beta):
+    """Host-side per-step GMRES residual norms via Givens rotations.
+
+    Returns (res[1..m], ys) where res[j-1] = min_y ||beta e1 - H[:j+1,:j] y||
+    and ys[j-1] is the minimizer — the standard progressive-rotation
+    recurrence, O(m^2) total on an m<=30 Hessenberg matrix."""
+    H = np.asarray(H, dtype=np.float64)
+    m = H.shape[1]
+    R = H.copy()
+    g = np.zeros(m + 1)
+    g[0] = beta
+    res = np.empty(m)
+    ys = []
+    rot = []
+    for j in range(m):
+        for i, (ci, si) in enumerate(rot):   # prior rotations on column j
+            t = ci * R[i, j] + si * R[i + 1, j]
+            R[i + 1, j] = -si * R[i, j] + ci * R[i + 1, j]
+            R[i, j] = t
+        d = np.hypot(R[j, j], R[j + 1, j])
+        c, s = (1.0, 0.0) if d == 0 else (R[j, j] / d, R[j + 1, j] / d)
+        rot.append((c, s))
+        R[j, j] = d
+        R[j + 1, j] = 0.0
+        g[j + 1] = -s * g[j]
+        g[j] = c * g[j]
+        res[j] = abs(g[j + 1])
+        y = np.zeros(m)
+        if d != 0 and not np.any(np.diag(R[:j + 1, :j + 1]) == 0):
+            y[:j + 1] = np.linalg.solve(np.triu(R[:j + 1, :j + 1]),
+                                        g[:j + 1])
+        ys.append(y)
+    return res, ys
 
 
 def gmres(A, b, M=None, x0=None, tol=1e-8, maxiter=500, restart=30):
     """Left-preconditioned restarted GMRES; tolerance is relative on the
-    preconditioned residual."""
+    preconditioned residual.  Returns GmresResult with a per-iteration
+    residual history and niters exact at mid-cycle convergence."""
     Afn = A.matvec if hasattr(A, "matvec") else A
     Mfn = (M.matvec if hasattr(M, "matvec") else M) if M is not None \
         else (lambda r: r)
@@ -78,13 +121,22 @@ def gmres(A, b, M=None, x0=None, tol=1e-8, maxiter=500, restart=30):
     x = jnp.zeros_like(b) if x0 is None else x0
     r0 = float(jnp.linalg.norm(Mfn(b - Afn(x))))
     residuals = [r0]
+    target = tol * max(r0, 1e-300)
     niters = 0
+    if r0 <= 0.0:
+        return GmresResult(x=x, niters=0, converged=True,
+                           residuals=np.asarray(residuals))
     while niters < maxiter:
-        x, res = _gmres_cycle(Afn, Mfn, b, x, int(restart))
-        res = float(res)
-        niters += min(restart, maxiter - niters)
-        residuals.append(res)
-        if res <= tol * max(r0, 1e-300):
+        m = int(min(restart, maxiter - niters))
+        V, H, beta = _arnoldi_cycle(Afn, Mfn, b, x, m)
+        res, ys = _hessenberg_residuals(H, float(beta))
+        hit = np.flatnonzero(res <= target)
+        take = int(hit[0]) + 1 if len(hit) else m
+        residuals.extend(res[:take].tolist())
+        niters += take
+        y_pad = jnp.asarray(ys[take - 1], dtype=b.dtype)
+        x = _apply_update(V, x, y_pad)
+        if len(hit):
             return GmresResult(x=x, niters=niters, converged=True,
                                residuals=np.asarray(residuals))
     return GmresResult(x=x, niters=niters, converged=False,

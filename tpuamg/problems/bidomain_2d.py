@@ -11,7 +11,6 @@ Run:  python -m tpuamg.problems.bidomain_2d -nrefs 3 -gamma 1e6 \
 """
 from __future__ import annotations
 
-import time
 
 import numpy as np
 
@@ -58,12 +57,12 @@ def run(args, dim=2, start_exp=5, name="bidomain_2d"):
                 and args.pdegree == 1:   # grid path is P1 (vertex dofs)
             grid = ((ncells + 1,) * dim, 2)
 
-        then = time.time()
         rep = solve_system(A, b, args.precond, sizes, idofs=idofs,
                            params=amg_params,
                            blocks=blocks, tol=1e-8, maxiter=500,
-                           dtype=dtype, grid=grid)
-        ksp_dt = time.time() - then
+                           dtype=dtype, grid=grid,
+                           timing_runs=getattr(args, "timing_runs", 1))
+        ksp_dt = rep.t_setup + rep.t_solve
 
         e1, e2 = compute_errors(mesh, data, rep.x, sizes,
                                 pdegree=args.pdegree)

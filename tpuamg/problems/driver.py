@@ -38,6 +38,10 @@ def standard_parser(default_precond, precond_choices):
     p.add_argument("-dtype", type=str, default="float64",
                    choices=("float32", "float64"),
                    help="device dtype for the solve phase")
+    p.add_argument("-timing_runs", type=int, default=1,
+                   help="with 2+, re-run the solve warm and report the "
+                        "last run's time as timeKSP (excludes XLA compile,"
+                        " matching the reference's compute-only timings)")
     p.add_argument("-backend", type=str, default="algebraic",
                    choices=("algebraic", "grid"),
                    help="algebraic = general ELL hierarchy; grid = "

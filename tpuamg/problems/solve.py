@@ -112,7 +112,8 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  dtype=jnp.float64, callback=None,
                  grid=None, structured_coords=None, structured_order=None,
                  algebraic_below=0,
-                 pallas=None, refine=0, inner_tol=1e-6) -> SolveReport:
+                 pallas=None, refine=0, inner_tol=1e-6,
+                 timing_runs=1) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
     problems.  structured_coords: optional (n, d) dof coordinates — use the
@@ -126,6 +127,12 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     coarse spaces; gathers are cheap at coarse sizes) — see
     amg/structured.setup_structured.
     Default: the general algebraic ELL path.
+
+    timing_runs: with 2+, after the first (compiling) solve completes,
+    the solve re-runs warm and ``t_solve`` reports the LAST run — the
+    reference's timeKSP is pure compute (HAZmath C has no JIT), so the
+    regression tables exclude XLA compile this way (the iteration counts
+    and solution come from the first run; reruns are identical programs).
 
     refine: mixed-precision iterative refinement (the TPU route to the
     reference's 1e-8/1e-10 tolerances — /root/reference/src/bidomain_2d.py
@@ -283,6 +290,10 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     x, res = _run(bj, tol, maxiter)
     cond = res.cond if method == "cg" else float("nan")
     t_solve = time.time() - t0
+    for _ in range(int(timing_runs) - 1):
+        t0 = time.time()
+        _run(bj, tol, maxiter)
+        t_solve = time.time() - t0
     return SolveReport(
         x=x, niters=res.niters, converged=res.converged, cond=cond,
         r_norm=float(res.residuals[-1]), t_setup=t_setup, t_solve=t_solve,
