@@ -65,6 +65,63 @@ def test_bidomain_3d_smoke():
     assert rep.converged and rep.niters < 40
 
 
+def _write_neuron_h5(path, curve, extra_zero_edge=True):
+    """Write a legacy-DOLFIN-layout HDF5 curve mesh: /mesh/coordinates,
+    /mesh/topology, /curves group with per-edge radius values (0 = not
+    part of the neuron, the marker the reference recolors,
+    /root/reference/src/emi_3d1d.py:31-43)."""
+    import h5py
+    rng = np.random.default_rng(3)
+    coords = curve.vertices
+    topo = curve.cells.astype(np.int64)
+    vals = rng.uniform(0.1, 1.0, len(topo))
+    if extra_zero_edge:
+        # spurious zero-marked edge to an otherwise-unused vertex: the
+        # loader must drop both
+        coords = np.vstack([coords, [[9.0, 9.0, 9.0]]])
+        topo = np.vstack([topo, [[0, len(coords) - 1]]])
+        vals = np.concatenate([vals, [0.0]])
+    with h5py.File(path, "w") as h5:
+        h5["/mesh/coordinates"] = coords
+        h5["/mesh/topology"] = topo
+        h5.create_group("curves")["values"] = vals
+
+
+def test_load_neuron_h5(tmp_path):
+    """DOLFIN-layout HDF5 round trip incl. /curves marker recoloring."""
+    from tpuamg.problems.emi_3d1d import (load_neuron_h5,
+                                          synthetic_neuron_curve)
+    curve = synthetic_neuron_curve(n_main=10, n_branches=2)
+    p = str(tmp_path / "neuron.h5")
+    _write_neuron_h5(p, curve)
+    m = load_neuron_h5(p)
+    # the zero-marked edge and its orphan vertex are gone; the neuron
+    # edges and vertices survive exactly
+    assert m.num_vertices == curve.num_vertices
+    assert len(m.cells) == len(curve.cells)
+    assert np.allclose(m.vertices, curve.vertices)
+    assert np.array_equal(np.sort(m.cells, axis=1),
+                          np.sort(curve.cells, axis=1))
+
+
+def test_emi_3d1d_neuron_h5_pipeline(tmp_path):
+    """Real-mesh path end to end: HDF5 fixture -> -neuron_h5 dump ->
+    offline solve (the production-scale pipeline of the reference)."""
+    from tpuamg.problems.emi_3d1d import (main as emi_main,
+                                          synthetic_neuron_curve)
+    from tpuamg.problems.run_solver_3d1d import main as solver_main
+    curve = synthetic_neuron_curve(n_main=10, n_branches=1)
+    h5path = str(tmp_path / "neuron.h5")
+    _write_neuron_h5(h5path, curve)
+    d = str(tmp_path / "dump") + "/"
+    o = str(tmp_path / "out") + "/"
+    emi_main(["-gamma", "100", "-radius", "0.2", "-dump", "1",
+              "-outdir", d, "-mesh_n", "6", "-neuron_h5", h5path])
+    rep = solver_main(["-infile", "tpuamg/problems/input_metric.dat",
+                       "-indir", d, "-outdir", o])
+    assert rep.converged and rep.niters <= 30
+
+
 def test_emi_3d1d_pipeline(tmp_path):
     """assemble -> dump -> offline solve -> load -> visualize round trip
     (SURVEY.md §3.4)."""

@@ -75,14 +75,36 @@ def synthetic_neuron_curve(n_main=40, n_branches=6, seed=7,
 
 
 def load_neuron_h5(path):
-    """Load the reference's neuron curve mesh from HDF5 (emi_3d1d.py:28-43
-    surface). Requires h5py and the downloaded data file."""
+    """Load the reference's neuron curve mesh from HDF5
+    (/root/reference/src/emi_3d1d.py:28-43 semantics).
+
+    Legacy-DOLFIN layout: ``/mesh/coordinates`` (nv, 3) float,
+    ``/mesh/topology`` (ne, 2) int edge cells, and a ``/curves`` edge
+    marker (MeshFunction('double', mesh, 1) — stored as a dataset or a
+    group with a ``values`` member, one value per edge: the branch
+    radius).  The reference recolors the markers to {0 = not neuron,
+    1 = neuron} and extracts the marker-1 submesh (EmbeddedMesh(edge_f,
+    1)); we do the same: drop edges whose marker is 0, keep the rest,
+    and compact to the used vertices.  A file without ``/curves`` keeps
+    every edge."""
     import h5py
     with h5py.File(path, "r") as h5:
-        # legacy DOLFIN HDF5 layout
-        coords = np.asarray(h5["/mesh/coordinates"])
-        topo = np.asarray(h5["/mesh/topology"])
-    return Mesh(coords, topo)
+        coords = np.asarray(h5["/mesh/coordinates"], dtype=np.float64)
+        topo = np.asarray(h5["/mesh/topology"], dtype=np.int64)
+        values = None
+        if "curves" in h5:
+            obj = h5["curves"]
+            if isinstance(obj, h5py.Group):
+                obj = obj.get("values", None)
+            if obj is not None:
+                values = np.asarray(obj, dtype=np.float64)
+    if topo.ndim != 2 or topo.shape[1] != 2:
+        raise ValueError(
+            f"expected (ne, 2) edge topology in {path}, got {topo.shape}")
+    if values is not None and len(values) == len(topo):
+        topo = topo[values != 0]     # marker 0 = not the neuron
+    used, inv = np.unique(topo.reshape(-1), return_inverse=True)
+    return Mesh(coords[used], inv.reshape(topo.shape).astype(np.int64))
 
 
 def get_system(mesh3d, curve, k3=1.0, k1=1.0, gamma=1.0,
