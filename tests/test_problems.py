@@ -27,6 +27,40 @@ def test_emi2d_rate_and_gamma():
         e0, h0 = e1, m1.hmin()
 
 
+def test_emi2d_p2_rate():
+    """EMI P2 (the reference's -pdegree 2, emi_2d.py:58): H1 rate ~ 2."""
+    e0 = h0 = None
+    for n in (8, 16):
+        m1, m2, itf = split_meshes(n, 2)
+        p = Params(2.0, 3.0, 5.0)
+        data = mms.setup_emi_mms(p, dim=2)
+        A, b, sizes, idofs = get_system(m1, m2, itf, data, p, pdegree=2)
+        rep = solve_system(A, b, "metric", sizes, idofs=idofs,
+                           tol=1e-10, maxiter=300)
+        assert rep.converged
+        e1, e2 = compute_errors(m1, m2, data, rep.x, sizes, pdegree=2)
+        if e0 is not None:
+            rate = np.log(e1 / e0) / np.log(m1.hmin() / h0)
+            assert 1.8 < rate < 2.3, rate
+        e0, h0 = e1, m1.hmin()
+
+
+def test_emi3d_p2_smoke():
+    """3D EMI P2: assembles, solves, two-sided P2 interface dofs."""
+    from tpuamg.fem.pk import P2Space
+    m1, m2, itf = split_meshes(4, 3)
+    p = Params(2.0, 3.0, 5.0)
+    data = mms.setup_emi_mms(p, dim=3)
+    A, b, sizes, idofs = get_system(m1, m2, itf, data, p, pdegree=2)
+    idofs = np.unique(np.concatenate(
+        [idofs, P2Space(m2).boundary_dofs((1,)) + sizes[0]]))
+    rep = solve_system(A, b, "metric", sizes, idofs=idofs,
+                       tol=1e-10, maxiter=300)
+    assert rep.converged
+    e1, e2 = compute_errors(m1, m2, data, rep.x, sizes, pdegree=2)
+    assert e1 < 2.0 and e2 < 2.0
+
+
 def test_emi2d_diag_precond():
     m1, m2, itf = split_meshes(16, 2)
     p = Params(2.0, 3.0, 5.0)

@@ -141,6 +141,22 @@ class MGPreconditioner:
             x = x + alpha * z
         return x
 
+    def _fmg(self, b):
+        """Full-multigrid (F-cycle) application: restrict the rhs through
+        every level, coarse-solve first, then work upward — at each level
+        prolong the current solution and run one V-cycle with the
+        restricted rhs.  The PETSc ``pc_mg_type: full`` configuration of
+        the reference's GMG path
+        (/root/reference/src/bidomain_2d_firedrake.py:106-125)."""
+        rs = [b]
+        for L in self.levels:
+            rs.append(L.restrict(rs[-1]))
+        x = self._coarse_solve(rs[-1])
+        for i in reversed(range(len(self.levels))):
+            x = self.levels[i].prolong(x)
+            x = self._cycle(i, rs[i], x)
+        return x
+
     def _additive(self, b):
         """Additive (BPX-like) cycle: smoother contributions from every
         level plus the coarse solve, summed."""
@@ -159,6 +175,12 @@ class MGPreconditioner:
     def matvec(self, b):
         if self.cycle == "add":
             return self._additive(b).astype(b.dtype)
+        if self.cycle == "fmg":
+            # FMG once, then (maxit-1) plain V-cycles refine from it
+            x = self._fmg(b)
+            for _ in range(self.maxit - 1):
+                x = self._cycle(0, b, x)
+            return x.astype(b.dtype)
         x = jnp.zeros_like(b)
         for _ in range(self.maxit):
             x = self._cycle(0, b, x)

@@ -17,7 +17,7 @@ class AMGParameters:
     """Mirror of the haznics AMG parameter surface actually used
     (/root/reference/src/amg_parameters.py:3-89, utils.py:20-38,60-82)."""
     amg_type: str = "ua"              # ua | sa            (UA_AMG/SA_AMG)
-    cycle_type: str = "w"             # v | w | amli | nl_amli | add
+    cycle_type: str = "w"        # v | w | amli | nl_amli | add | fmg
     max_levels: int = 20
     maxit: int = 1                    # cycles per preconditioner apply
     smoother: str = "sgs"    # jacobi|l1_jacobi|gs|sgs|sor|ssor|chebyshev

@@ -60,6 +60,52 @@ def div(F):
     return d
 
 
+def setup_bidomain_strip_mms(params, width=0.125):
+    """Exact data for the STRIP-coupled bidomain system of the GMG
+    comparison path (/root/reference/src/bidomain_2d_firedrake.py:63-66):
+    the gamma-coupling acts only on |x - 0.5| <= width.
+
+    The reference reuses a globally-coupled forcing with the strip
+    operator (bidomain_2d_firedrake.py:28 vs :68), which makes its H1
+    errors gamma-inconsistent; here the MMS is constructed so the
+    coupling term vanishes on the exact solution:  u2 = u1 - psi with
+    psi(x) = ((|x-0.5| - width)_+)^3 = 0 inside the strip (C^2 smooth).
+    Then f_i = -div(kappa_i grad u_i) with NO coupling forcing, and the
+    system is exactly consistent at every gamma (strip edges are
+    mesh-aligned for width=0.125 and n a multiple of 8)."""
+    k1, k2 = float(params.kappa1), float(params.kappa2)
+    w = float(width)
+
+    def u1(x):
+        return jnp.cos(jnp.pi * (x[0] + x[1]))
+
+    def psi(x):
+        return jnp.maximum(jnp.abs(x[0] - 0.5) - w, 0.0) ** 3
+
+    def u2(x):
+        return u1(x) - psi(x)
+
+    def sigma1(x):
+        return -k1 * jax.grad(u1)(x)
+
+    def sigma2(x):
+        return -k2 * jax.grad(u2)(x)
+
+    def f1(x):
+        return div(sigma1)(x)
+
+    def f2(x):
+        return div(sigma2)(x)
+
+    return {
+        "u1": vectorize(u1), "u2": vectorize(u2),
+        "grad_u1": vectorize_vec(jax.grad(u1)),
+        "grad_u2": vectorize_vec(jax.grad(u2)),
+        "flux1": vectorize_vec(sigma1), "flux2": vectorize_vec(sigma2),
+        "f1": vectorize(f1), "f2": vectorize(f2),
+    }
+
+
 def setup_bidomain_mms(params, dim=2):
     """Exact data for the coupled bidomain system
         -div(kappa1 grad u1) + gamma (u1 - u2) = f1

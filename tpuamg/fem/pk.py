@@ -22,6 +22,7 @@ from .quadrature import simplex_rule
 from .assembly import _p1_gradients
 
 _LOCAL_EDGES = {
+    1: [(0, 1)],          # interval (interface/manifold meshes)
     2: [(0, 1), (0, 2), (1, 2)],
     3: [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
 }
@@ -154,13 +155,17 @@ def p2_load(space: P2Space, f, degree=5):
     return b
 
 
-def p2_facet_load(space: P2Space, g, tags, degree=5):
-    """∫ g v ds over tagged boundary facets for P2 (facet = P2 simplex of
-    dimension d-1 with its own vertex+edge dofs)."""
+def p2_facet_load(space: P2Space, g, tags=None, degree=5, facets=None):
+    """∫ g v ds over boundary facets for P2 (facet = P2 simplex of
+    dimension d-1 with its own vertex+edge dofs).  Select facets by
+    marker `tags` or pass an explicit `facets` (nf, d) vertex array
+    (needed when one tag covers opposite faces with different normals)."""
     mesh = space.mesh
-    tags = np.atleast_1d(tags)
-    sel = np.isin(mesh.facet_markers, tags)
-    facets = mesh.facets[sel].astype(np.int64)
+    if facets is None:
+        tags = np.atleast_1d(tags)
+        sel = np.isin(mesh.facet_markers, tags)
+        facets = mesh.facets[sel]
+    facets = np.asarray(facets, dtype=np.int64)
     b = np.zeros(space.ndofs)
     if len(facets) == 0:
         return b

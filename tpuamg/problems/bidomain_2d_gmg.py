@@ -87,7 +87,11 @@ def main(argv=None):
 
     params = Params(args.kappa1, args.kappa2, args.gamma)
     print_red(f"{params} width={args.width} mg_type={args.mg_type}")
-    data = mms.setup_bidomain_mms(params, dim=2)
+    # strip-consistent MMS: the coupling term vanishes on the exact
+    # solution, so H1 rates stay clean at every gamma (the reference
+    # reuses the global-coupling forcing and loses consistency at
+    # large gamma — see setup_bidomain_strip_mms)
+    data = mms.setup_bidomain_strip_mms(params, width=args.width)
 
     tag = (f"mg{args.mg_type}_kappa1{args.kappa1}_kappa2{args.kappa2}"
            f"_gamma{args.gamma}_width{args.width}")
@@ -99,21 +103,27 @@ def main(argv=None):
         mesh = tagged_unit_square(n)
         A, b, sizes = get_system_strip(mesh, data, params, args.width)
         then = time.time()
+        from dataclasses import replace
+        from ..config import PRESETS
         if args.mg_type == "mg" and args.smoother == "patch":
-            # vertex-star patch smoothing: every dof seeds a 1-level
-            # neighborhood Schwarz block (= the star of basis functions
-            # PatchPC assembles), solved exactly and applied
-            # multiplicatively — the standard_schwarz preset's block
-            # construction with idofs = all dofs
-            from ..config import PRESETS
+            # full-MG + vertex-star patch smoothing: every dof seeds a
+            # 1-level neighborhood Schwarz block (= the star of basis
+            # functions PatchPC assembles), solved exactly and applied
+            # multiplicatively; F-cycle application = PETSc
+            # pc_mg_type full (bidomain_2d_firedrake.py:106-125)
             idofs = np.arange(sum(sizes))
             rep = solve_system(A, b, "hazmath_Schwarz", sizes,
                                idofs=idofs,
-                               params=PRESETS["standard_schwarz"],
+                               params=replace(PRESETS["standard_schwarz"],
+                                              cycle_type="fmg"),
                                tol=1e-10, maxiter=500)
         elif args.mg_type == "mg":
+            # geometric grid hierarchy, full-MG (F-cycle) application
             rep = solve_system(A, b, "metric_mono", sizes, tol=1e-10,
-                               maxiter=500, grid=((n + 1, n + 1), 2))
+                               maxiter=500, grid=((n + 1, n + 1), 2),
+                               params=replace(
+                                   PRESETS["metric_mono_default"],
+                                   cycle_type="fmg"))
         else:
             idofs = np.arange(sizes[0], sum(sizes))
             rep = solve_system(A, b, "hazmath", sizes, idofs=idofs,

@@ -34,12 +34,17 @@ def run(args, dim=2, start_exp=6, name="emi_2d"):
     for ncells in (2 ** i for i in range(start_exp, start_exp + args.nrefs)):
         mesh1, mesh2, interface = split_meshes(ncells, dim)
         A, b, sizes, interface_dofs = get_system(mesh1, mesh2, interface,
-                                                 data, params)
+                                                 data, params,
+                                                 pdegree=args.pdegree)
         if dim == 3:
             # union over both interface sides, second offset by n1
             # (emi_3d.py:134-138)
-            from ..fem import embed_vertices
-            other = embed_vertices(interface, mesh2) + sizes[0]
+            if args.pdegree == 2:
+                from ..fem.pk import P2Space
+                other = P2Space(mesh2).boundary_dofs((1,)) + sizes[0]
+            else:
+                from ..fem import embed_vertices
+                other = embed_vertices(interface, mesh2) + sizes[0]
             interface_dofs = np.unique(np.concatenate(
                 [interface_dofs, other]))
 
@@ -49,7 +54,8 @@ def run(args, dim=2, start_exp=6, name="emi_2d"):
             blocks = extract_diag_blocks(A, sizes)
 
         coords = None
-        if getattr(args, "backend", "algebraic") == "grid":
+        if getattr(args, "backend", "algebraic") == "grid" \
+                and args.pdegree == 1:   # vertex-dof layout only
             # split meshes aren't one grid; use the general gather-free
             # pair+Morton structured path keyed on dof coordinates
             coords = np.concatenate([mesh1.vertices, mesh2.vertices],
@@ -62,7 +68,8 @@ def run(args, dim=2, start_exp=6, name="emi_2d"):
                            timing_runs=getattr(args, "timing_runs", 1))
         ksp_dt = rep.t_setup + rep.t_solve
 
-        e1, e2 = compute_errors(mesh1, mesh2, data, rep.x, sizes)
+        e1, e2 = compute_errors(mesh1, mesh2, data, rep.x, sizes,
+                                pdegree=args.pdegree)
         tables.add(sum(sizes), rep.niters, rep.cond, ksp_dt, rep.r_norm,
                    mesh1.hmin(), [e1, e2])
         tables.show()
