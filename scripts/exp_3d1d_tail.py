@@ -1,0 +1,81 @@
+"""3D-1D gamma-robustness experiments: which hierarchy makes iterations
+O(1) in gamma?  Compares algebraic variants (UA vs SA, V vs AMLI) and the
+structured hierarchy with algebraic tails at several thresholds.
+
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+      python scripts/exp_3d1d_tail.py [n] [which...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import resource
+resource.setrlimit(resource.RLIMIT_STACK,
+                   (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+
+from tpuamg.fem import unit_cube_mesh
+from tpuamg.problems.emi_3d1d import synthetic_neuron_curve, get_system
+from tpuamg.problems.solve import solve_system
+from tpuamg.config import AMGParameters
+
+GAMMAS = [1e0, 1e2, 1e4, 1e6, 1e8, 1e10]
+
+
+def system(gamma, n):
+    mesh3d = unit_cube_mesh(n)
+    curve = synthetic_neuron_curve(n_main=16, n_branches=2)
+    A, b, sizes = get_system(mesh3d, curve, k3=3.0, k1=7.0 * np.pi * 0.04,
+                             gamma=gamma * 2 * np.pi * 0.2,
+                             coupling_radius=0.2)
+    coords = np.concatenate([mesh3d.vertices, curve.vertices])
+    return A, b, sizes, coords
+
+
+def run(tag, n, **kw):
+    iters, conds = [], []
+    t0 = time.time()
+    for g in GAMMAS:
+        A, b, sizes, coords = system(g, n)
+        n3, n1 = sizes
+        idofs = np.arange(n3, n3 + n1)
+        rep = solve_system(A, b, "metric_mono", sizes, tol=1e-8,
+                           maxiter=200, idofs=idofs, **{
+                               k: v for k, v in kw.items() if v != "X"})
+        iters.append(rep.niters if rep.converged else -rep.niters)
+        conds.append(round(rep.cond, 1))
+    print(f"{tag:28s} iters={iters} cond={conds}"
+          f"  ({time.time()-t0:.0f}s)", flush=True)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    which = set(sys.argv[2:]) or {"ua_v", "sa_v", "ua_amli", "sa_amli",
+                                  "hyb"}
+    base = dict(cycle_type="v", dtype="float64", schwarz_levels=2)
+    if "ua_v" in which:
+        run("alg ua v", n, params=AMGParameters(**base))
+    if "sa_v" in which:
+        run("alg sa v", n, params=AMGParameters(amg_type="sa", **base))
+    if "ua_amli" in which:
+        run("alg ua amli3", n, params=AMGParameters(
+            **{**base, "cycle_type": "amli"}))
+    if "sa_amli" in which:
+        run("alg sa amli3", n, params=AMGParameters(
+            amg_type="sa", **{**base, "cycle_type": "amli"}))
+    if "hyb" in which:
+        for ab in (300, 700):
+            A, b, sizes, coords = system(1.0, n)
+            run(f"struct+alg_ua<{ab}", n, params=AMGParameters(**base),
+                structured_coords=coords, pallas=False,
+                algebraic_below=ab)
+
+
+if __name__ == "__main__":
+    main()

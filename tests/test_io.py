@@ -72,3 +72,33 @@ def test_vtu_writer(tmp_path):
     assert "UnstructuredGrid" in txt and "connectivity" in txt
     pvd = write_pvd(str(tmp_path / "u.pvd"), ["u.vtu"])
     assert "Collection" in open(pvd).read()
+
+
+def test_coupling_dump_roundtrip(tmp_path):
+    """Pi/Mq metric-factor dump extension: A == AD + gamma R^T Mq R."""
+    import numpy as np
+    from tpuamg.fem import unit_cube_mesh
+    from tpuamg.problems.emi_3d1d import (synthetic_neuron_curve,
+                                          get_system)
+    from tpuamg.io_utils import dump_system, load_system, load_coupling
+    mesh3d = unit_cube_mesh(5)
+    curve = synthetic_neuron_curve(n_main=8, n_branches=1)
+    gamma = 1e4
+    A, b, sizes, (Pi, Mq) = get_system(mesh3d, curve, gamma=gamma,
+                                       coupling_radius=0.2,
+                                       return_coupling=True)
+    d = str(tmp_path / "d")
+    dump_system(A, b, sizes, d, coupling=(Pi, Mq), gamma=gamma)
+    A2, b2, idofs, idofs3d = load_system(d)
+    g2, Pi2, Mq2 = load_coupling(d)
+    assert g2 == gamma
+    n3, n1 = sizes
+    # rebuild gamma * R^T Mq R from the loaded factors and check that
+    # A - (that) has no dependence on gamma in the coupling block
+    R = np.zeros((n1, n3 + n1))
+    R[:, :n3] = -Pi2.toarray()
+    R[:, n3:] = np.eye(n1)
+    M = R.T @ Mq2.toarray() @ R
+    AD = A2.toarray() - g2 * M
+    # AD must be block diagonal (no 3d-1d coupling left)
+    assert np.abs(AD[:n3, n3:]).max() < 1e-8 * np.abs(A2.toarray()).max()

@@ -69,3 +69,41 @@ def test_native_mis_independent_dominating():
         for j in s.indices[s.indptr[i]:s.indptr[i + 1]]:
             if j != i:
                 assert j not in seed_set
+
+
+def test_native_coo_to_csr_oracle():
+    """Native COO coalesce == scipy oracle (duplicates summed, sorted)."""
+    import scipy.sparse as sp
+    from tpuamg.native import native_coo_to_csr
+    rng = np.random.default_rng(5)
+    n, nnz = 300, 9000
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz)
+    out = native_coo_to_csr(r, c, v, (n, n))
+    if out is None:
+        pytest.skip("native lib unavailable")
+    indptr, cols, vals = out
+    ref = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    ref.sum_duplicates()
+    assert np.array_equal(indptr, ref.indptr)
+    assert np.array_equal(cols, ref.indices)
+    assert np.allclose(vals, ref.data)
+
+
+def test_from_coo_native_path_matches_numpy():
+    """HostCSR.from_coo above the native threshold == below it."""
+    from tpuamg.sparse import HostCSR
+    rng = np.random.default_rng(6)
+    n, nnz = 200, 8000   # > 4096 triggers the native path
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz)
+    A = HostCSR.from_coo(r, c, v, (n, n))
+    from tpuamg.sparse.host import _coalesce_coo
+    rr, cc, vv = _coalesce_coo(r.astype(np.int64), c.astype(np.int64),
+                               v, (n, n))
+    B = HostCSR.from_coo(rr, cc, vv, (n, n), sum_duplicates=False)
+    assert np.array_equal(A.indptr, B.indptr)
+    assert np.array_equal(A.indices, B.indices)
+    assert np.allclose(A.data, B.data)

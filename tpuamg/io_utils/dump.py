@@ -17,13 +17,19 @@ import numpy as np
 from ..sparse import HostCSR
 
 
-def dump_system(A: HostCSR, b, sizes, folder, coords=None):
+def dump_system(A: HostCSR, b, sizes, folder, coords=None, coupling=None,
+                gamma=None):
     """Write A (COO), b, idofs, idofs3d — utils.py:304-333 layout.
 
     coords: optional (n, d) dof coordinates, saved as ``coords.npy`` —
     an ADDITION to the reference format that lets the offline solver use
     the structured (gather-free, TPU-fast) path; absent -> the loader
-    falls back to the algebraic path."""
+    falls back to the algebraic path.
+
+    coupling: optional (Pi, Mq) metric factorization (A = AD + gamma *
+    R^T Mq R, R = [-Pi, I]) saved as ``Pi.npy``/``Mq.npy`` COO triplets
+    plus ``gamma.npy`` — a further extension letting the offline solver
+    build gamma-exact smoothers without re-deriving the split from A."""
     os.makedirs(folder, exist_ok=True)
     r, c, v = A.to_coo()
     assert np.all(np.isfinite(v))
@@ -40,6 +46,16 @@ def dump_system(A: HostCSR, b, sizes, folder, coords=None):
     if coords is not None:
         np.save(os.path.join(folder, "coords.npy"),
                 np.asarray(coords, dtype=np.float64))
+    if coupling is not None:
+        Pi, Mq = coupling
+        for name, M in (("Pi", Pi), ("Mq", Mq)):
+            rr, cc, vv = M.to_coo()
+            np.save(os.path.join(folder, f"{name}.npy"),
+                    np.c_[rr.astype(np.float64), cc.astype(np.float64),
+                          vv])
+        np.save(os.path.join(folder, "gamma.npy"),
+                np.asarray([0.0 if gamma is None else float(gamma),
+                            float(Pi.shape[0]), float(Pi.shape[1])]))
 
 
 def load_system(folder, with_coords=False):
@@ -56,6 +72,23 @@ def load_system(folder, with_coords=False):
         coords = np.load(cpath) if os.path.exists(cpath) else None
         return A, b, idofs, idofs3d, coords
     return A, b, idofs, idofs3d
+
+
+def load_coupling(folder):
+    """Read the optional metric factorization dump:
+    (gamma, Pi: HostCSR, Mq: HostCSR) or None when absent."""
+    gpath = os.path.join(folder, "gamma.npy")
+    if not os.path.exists(gpath):
+        return None
+    gamma, n1, n3 = np.load(gpath)
+    out = []
+    for name, shape in (("Pi", (int(n1), int(n3))),
+                        ("Mq", (int(n1), int(n1)))):
+        coo = np.load(os.path.join(folder, f"{name}.npy"))
+        out.append(HostCSR.from_coo(coo[:, 0].astype(np.int64),
+                                    coo[:, 1].astype(np.int64),
+                                    coo[:, 2], shape))
+    return float(gamma), out[0], out[1]
 
 
 def write_solution(path_or_dir, x):

@@ -43,6 +43,9 @@ def get_lib():
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
 
+    lib.coo_to_csr.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                               i64p, i64p, f64p, i64p, i32p, f64p]
+    lib.coo_to_csr.restype = ctypes.c_int64
     lib.csr_spgemm_count.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                      i64p, i32p, i64p, i32p, i64p]
     lib.csr_spgemm_fill.argtypes = [ctypes.c_int64, ctypes.c_int64,
@@ -87,6 +90,25 @@ def native_spgemm(A, B):
                         np.ascontiguousarray(B.data, dtype=np.float64),
                         c_indptr, c_ix, c_dt)
     return HostCSR(c_indptr, c_ix, c_dt, (n, m))
+
+
+def native_coo_to_csr(rows, cols, vals, shape):
+    """COO -> canonical coalesced CSR (duplicates summed); None if the
+    native library is unavailable.  Returns (indptr, indices, data)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(shape[0])
+    nnz = len(rows)
+    indptr = np.empty(n + 1, dtype=np.int64)
+    out_cols = np.empty(nnz, dtype=np.int32)
+    out_vals = np.empty(nnz, dtype=np.float64)
+    w = lib.coo_to_csr(n, nnz,
+                       np.ascontiguousarray(rows, dtype=np.int64),
+                       np.ascontiguousarray(cols, dtype=np.int64),
+                       np.ascontiguousarray(vals, dtype=np.float64),
+                       indptr, out_cols, out_vals)
+    return indptr, out_cols[:w].copy(), out_vals[:w].copy()
 
 
 def native_greedy_color(A, max_colors=24):

@@ -83,6 +83,54 @@ void csr_spgemm_fill(
 }
 
 // ---------------------------------------------------------------------
+// COO -> canonical CSR with duplicate summation.  Bucket by row
+// (counting sort, O(nnz)), per-row sort by column, compact duplicates
+// in place.  Returns the coalesced nnz; indptr is rewritten to the
+// compacted layout.  This is the assembly hot path (FE scatter
+// produces ~(d+1)^2 duplicates per cell; np.lexsort was the profile's
+// top cost at n=512 — host.py::_coalesce_coo).
+// ---------------------------------------------------------------------
+int64_t coo_to_csr(
+    int64_t n, int64_t nnz,
+    const int64_t* rows, const int64_t* cols, const double* vals,
+    int64_t* indptr /* out, len n+1 */,
+    int32_t* out_cols /* out, len nnz */, double* out_vals) {
+  std::vector<int64_t> cnt(n + 1, 0);
+  for (int64_t k = 0; k < nnz; ++k) ++cnt[rows[k] + 1];
+  for (int64_t i = 0; i < n; ++i) cnt[i + 1] += cnt[i];
+  std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
+  std::vector<int32_t> tc(nnz);
+  std::vector<double> tv(nnz);
+  for (int64_t k = 0; k < nnz; ++k) {
+    const int64_t p = cur[rows[k]]++;
+    tc[p] = static_cast<int32_t>(cols[k]);
+    tv[p] = vals[k];
+  }
+  std::vector<int64_t> perm;
+  int64_t w = 0;
+  indptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t lo = cnt[i], hi = cnt[i + 1];
+    const int64_t len = hi - lo;
+    perm.resize(len);
+    std::iota(perm.begin(), perm.end(), int64_t(0));
+    const int32_t* rc = tc.data() + lo;
+    std::sort(perm.begin(), perm.end(),
+              [rc](int64_t a, int64_t b) { return rc[a] < rc[b]; });
+    int64_t p = 0;
+    while (p < len) {
+      const int32_t c = rc[perm[p]];
+      double s = 0.0;
+      while (p < len && rc[perm[p]] == c) s += tv[lo + perm[p++]];
+      out_cols[w] = c;
+      out_vals[w++] = s;
+    }
+    indptr[i + 1] = w;
+  }
+  return w;
+}
+
+// ---------------------------------------------------------------------
 // Greedy coloring (largest-degree-first), overflow color = max_colors.
 // ---------------------------------------------------------------------
 void greedy_color(

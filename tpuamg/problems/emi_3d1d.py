@@ -108,8 +108,13 @@ def load_neuron_h5(path):
 
 
 def get_system(mesh3d, curve, k3=1.0, k1=1.0, gamma=1.0,
-               coupling_radius=0.0):
-    """Assemble A = AD + gamma*M and b (emi_3d1d.py:46-94)."""
+               coupling_radius=0.0, return_coupling=False):
+    """Assemble A = AD + gamma*M and b (emi_3d1d.py:46-94).
+
+    return_coupling=True additionally returns the metric factorization
+    (Pi, Mq) with M = R^T Mq R, R = [-Pi, I] — the data the gamma-exact
+    smoother/coarse machinery needs (kept through assembly instead of
+    re-derived from A; CLAUDE.md round-2 backlog)."""
     K3 = stiffness_matrix(mesh3d, k3)
     M3 = mass_matrix(mesh3d, k3)
     K1 = stiffness_matrix(curve, k1)
@@ -130,6 +135,8 @@ def get_system(mesh3d, curve, k3=1.0, k1=1.0, gamma=1.0,
     b1 = load_vector(curve, lambda x: np.ones(len(x)))      # f1 = 1
     b = np.concatenate([b3, b1])
     sizes = (mesh3d.num_vertices, curve.num_vertices)
+    if return_coupling:
+        return A, b, sizes, (Pi, Mq)
     return A, b, sizes
 
 
@@ -185,14 +192,17 @@ def main(argv=None):
         curve = synthetic_neuron_curve()
 
     start = time.time()
-    A, b, sizes = get_system(mesh3d, curve, k3=sigma3d, k1=sigma1d,
-                             gamma=gamma, coupling_radius=radius)
+    A, b, sizes, coupling = get_system(mesh3d, curve, k3=sigma3d,
+                                       k1=sigma1d, gamma=gamma,
+                                       coupling_radius=radius,
+                                       return_coupling=True)
     print("\n------------------ System setup and assembly time: ",
           time.time() - start, "\n")
 
     if args.dump:
         coords = np.concatenate([mesh3d.vertices, curve.vertices])
-        dump_system(A, b, sizes, args.outdir, coords=coords)
+        dump_system(A, b, sizes, args.outdir, coords=coords,
+                    coupling=coupling, gamma=gamma)
     elif args.load_solution is not None:
         print_red(f"Loading results from {args.load_solution}...")
         sol = read_solution(args.load_solution)

@@ -60,6 +60,14 @@ class HostCSR:
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
         if sum_duplicates:
+            if vals.dtype == np.float64 and len(rows) > 4096:
+                # native bucket-sort coalesce (assembly hot path; ~6x
+                # np.lexsort at n=512 — tpuamg/native/amgkit.cpp)
+                from ..native import native_coo_to_csr
+                nat = native_coo_to_csr(rows, cols, vals, shape)
+                if nat is not None:
+                    indptr, out_cols, out_vals = nat
+                    return HostCSR(indptr, out_cols, out_vals, shape)
             rows, cols, vals = _coalesce_coo(rows, cols, vals, shape)
         else:
             order = np.lexsort((cols, rows))
