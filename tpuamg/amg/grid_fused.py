@@ -1171,8 +1171,10 @@ class FusedVCycle:
 
 
 def _plan_padr(offsets):
+    # multiple of 8 = one f32 vreg of sublanes: keeps 8-aligned row
+    # shifts on the free-slice path of the "aligned" shift variant
     maxabs = max((abs(int(o)) for o in offsets), default=0)
-    return _round_up(maxabs // LANES + 1, 4)
+    return _round_up(maxabs // LANES + 1, 8)
 
 
 def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,

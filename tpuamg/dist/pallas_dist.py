@@ -57,7 +57,7 @@ def plan_sharded(n, ndev, offsets):
     if rl % 8:
         raise ValueError(f"local rows {rl} not a multiple of 8")
     maxabs = max((abs(int(o)) for o in offsets), default=0)
-    padr = _round_up(maxabs // LANES + 1, 4)
+    padr = _round_up(maxabs // LANES + 1, 8)
     if padr > rl:
         raise ValueError(f"halo ({padr} rows) wider than a shard ({rl})")
     rb = 0

@@ -54,9 +54,14 @@ def _round_up(x, m):
 
 
 def _plan(offsets, n):
-    """(padr, rb, nrows): row padding, block rows, padded total rows."""
+    """(padr, rb, nrows): row padding, block rows, padded total rows.
+
+    padr is a multiple of 8 (one full f32 vreg of sublanes) so that a
+    diagonal whose row shift q is itself 8-aligned slices the VMEM block
+    at a vreg boundary — free addressing instead of sublane shuffles
+    (the "aligned" shift variant below)."""
     maxabs = max((abs(int(o)) for o in offsets), default=0)
-    padr = _round_up(maxabs // LANES + 1, 4)   # 2*padr multiple of 8
+    padr = _round_up(maxabs // LANES + 1, 8)
     r0 = _round_up(max(n, 1), LANES) // LANES
     rb = _MAX_RB if r0 >= _MAX_RB else _round_up(r0, 32)
     nrows = _round_up(r0, rb)
@@ -64,15 +69,22 @@ def _plan(offsets, n):
 
 
 # Shift decomposition variant (read once at import/trace time):
-#   "roll"  — axis-0 pltpu.roll + aligned [0:rb) slice (default: measured
-#             ~8% faster end-to-end mega-kernel PCG and ~20% faster
-#             standalone at rb=128 than "slice"; rotates run on the
-#             shift HW instead of misaligned-load shuffles)
-#   "slice" — misaligned sublane slice per diagonal
+#   "aligned" — per distinct lane shift s: ONE lane roll + ONE row
+#               roll-by-1 (shared across every diagonal with that s);
+#               each diagonal then takes two static row slices which are
+#               FREE (vreg addressing) whenever padr+q lands on an
+#               8-sublane boundary (padr is 8-aligned by _plan, and the
+#               grid/structured row-band offsets usually give q = +-8m —
+#               e.g. n=512 bidomain: row stride 1026 = 8*128 + 2).
+#               Misaligned q falls back to sublane-shuffle slices, never
+#               worse than "slice".  Default: fewest shuffle ops.
+#   "roll"    — axis-0 pltpu.roll per (s, q) + aligned [0:rb) slice
+#               (round-1 default; rotates on the shift HW)
+#   "slice"   — misaligned sublane slice per diagonal
 # A/B within one process won't retrace (not a jit static arg) — switch
 # via the TPUAMG_SHIFT env var across processes.
 import os as _os
-SHIFT_VARIANT = _os.environ.get("TPUAMG_SHIFT", "roll")
+SHIFT_VARIANT = _os.environ.get("TPUAMG_SHIFT", "aligned")
 
 
 def _shifted(xblk, rolls, lane, padr, rb, off):
@@ -84,8 +96,33 @@ def _shifted(xblk, rolls, lane, padr, rb, off):
         rolls[s] = pltpu.roll(xblk, jnp.int32(LANES - s), axis=1) \
             if s else xblk
     rs = rolls[s]
+    nrtot = rs.shape[0]
+    if SHIFT_VARIANT == "aligned":
+        base = padr + q
+
+        def sl(arr, b0):
+            return jax.lax.slice_in_dim(arr, b0, b0 + rb, axis=0)
+
+        def shifted_rows(key, rowshift):
+            # rolls[key][i] = rs[i + rowshift] (cached per (key,) once
+            # per s — shared by every diagonal with this lane shift)
+            if key not in rolls:
+                rolls[key] = pltpu.roll(
+                    rs, jnp.int32((nrtot - rowshift) % nrtot), axis=0)
+            return rolls[key]
+
+        if s == 0:
+            return sl(rs, base)
+        if base % 8 != 0 and (base + 1) % 8 == 0:
+            # q+1 is the vreg-aligned row: take rows q via a shared
+            # roll-down-by-one, rows q+1 directly
+            a = sl(shifted_rows(("dn1", s), -1), base + 1)
+            return jnp.where(lane < LANES - s, a, sl(rs, base + 1))
+        # rows q directly (aligned when base % 8 == 0), rows q+1 via a
+        # shared roll-up-by-one
+        b = sl(shifted_rows(("up1", s), 1), base)
+        return jnp.where(lane < LANES - s, sl(rs, base), b)
     if SHIFT_VARIANT == "roll":
-        nrtot = rs.shape[0]
 
         def row_aligned(rowoff):
             key = (s, rowoff)
