@@ -28,26 +28,33 @@ from tpuamg.config import AMGParameters
 GAMMAS = [1e0, 1e2, 1e4, 1e6, 1e8, 1e10]
 
 
-def system(gamma, n):
+def system(gamma, n, coupling=False):
     mesh3d = unit_cube_mesh(n)
     curve = synthetic_neuron_curve(n_main=16, n_branches=2)
-    A, b, sizes = get_system(mesh3d, curve, k3=3.0, k1=7.0 * np.pi * 0.04,
-                             gamma=gamma * 2 * np.pi * 0.2,
-                             coupling_radius=0.2)
+    out = get_system(mesh3d, curve, k3=3.0, k1=7.0 * np.pi * 0.04,
+                     gamma=gamma * 2 * np.pi * 0.2,
+                     coupling_radius=0.2, return_coupling=coupling)
     coords = np.concatenate([mesh3d.vertices, curve.vertices])
+    if coupling:
+        A, b, sizes, (Pi, Mq) = out
+        return A, b, sizes, coords, (gamma * 2 * np.pi * 0.2, Pi, Mq)
+    A, b, sizes = out
     return A, b, sizes, coords
 
 
-def run(tag, n, **kw):
+def run(tag, n, with_coupling=False, **kw):
     iters, conds = [], []
     t0 = time.time()
     for g in GAMMAS:
-        A, b, sizes, coords = system(g, n)
+        if with_coupling:
+            A, b, sizes, coords, coup = system(g, n, coupling=True)
+            kw["coupling"] = coup
+        else:
+            A, b, sizes, coords = system(g, n)
         n3, n1 = sizes
         idofs = np.arange(n3, n3 + n1)
         rep = solve_system(A, b, "metric_mono", sizes, tol=1e-8,
-                           maxiter=200, idofs=idofs, **{
-                               k: v for k, v in kw.items() if v != "X"})
+                           maxiter=200, idofs=idofs, **kw)
         iters.append(rep.niters if rep.converged else -rep.niters)
         conds.append(round(rep.cond, 1))
     print(f"{tag:28s} iters={iters} cond={conds}"
@@ -75,6 +82,15 @@ def main():
             run(f"struct+alg_ua<{ab}", n, params=AMGParameters(**base),
                 structured_coords=coords, pallas=False,
                 algebraic_below=ab)
+    if "exact_fp" in which:
+        A, b, sizes, coords = system(1.0, n)
+        run("struct fp=exact", n, params=AMGParameters(**base),
+            structured_coords=coords, pallas=False)
+    if "rank1g" in which:
+        A, b, sizes, coords = system(1.0, n)
+        run("struct fp=rank1g", n, with_coupling=True,
+            params=AMGParameters(**base),
+            structured_coords=coords, pallas=False, fp_solver="rank1g")
 
 
 if __name__ == "__main__":

@@ -537,7 +537,7 @@ def setup_structured(A_host: HostCSR, coords,
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
                      cheb_kind=1, pairs=None, pallas=None, idofs=None,
                      order="morton", algebraic_below=0, fp_maxlvl=1,
-                     fp_solver="exact"):
+                     fp_solver="exact", gamma_data=None):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -612,16 +612,35 @@ def setup_structured(A_host: HostCSR, coords,
     # (bidomain/EMI trace coupling) the HEM pair blocks already solve
     # the coupling exactly and idofs can be O(n) — skip.
     fp_blocks = fp_seeds = None
+    gd = None
     if (idofs is not None and params.schwarz_levels > 0
             and 0 < len(idofs) * 8 < A_host.shape[0]):
         fp_seeds = np.sort(slots0[np.asarray(idofs)])
         fp_blocks = _neighbor_blocks(A, fp_seeds)
+        if fp_solver == "rank1g":
+            # gamma-exact O(m)-storage smoother: translate the original-
+            # space gamma factorization (smoothers.rank1_gamma_data) into
+            # slot space; coarsened per level by window restriction
+            assert gamma_data is not None, "rank1g needs gamma_data"
+            u_idx0, u_val0, c0, Dg0, l10 = gamma_data
+            gd = {"seeds": slots0[np.asarray(idofs)],
+                  "u_idx": [slots0[np.asarray(ui)] for ui in u_idx0],
+                  "u_val": [np.asarray(uv, dtype=np.float64)
+                            for uv in u_val0],
+                  "c": np.asarray(c0, dtype=np.float64),
+                  "Dg": np.zeros(nsl), "l1ad": np.ones(nsl)}
+            gd["Dg"][slots0] = Dg0
+            gd["l1ad"][slots0] = l10
     levels = []
     s = 2
     while (len(levels) < params.max_levels - 1
            and mask.sum() > max(params.coarse_dof, algebraic_below)):
         A, mask = _pad_to_multiple(A, mask, s)
         ng = A.shape[0] // s
+        if gd is not None and len(gd["Dg"]) < A.shape[0]:
+            pad = A.shape[0] - len(gd["Dg"])
+            gd["Dg"] = np.concatenate([gd["Dg"], np.zeros(pad)])
+            gd["l1ad"] = np.concatenate([gd["l1ad"], np.ones(pad)])
         blockinv = _slot_blocks(A, s)
         fp_schwarz = None
         if fp_blocks is not None and len(levels) < params.schwarz_levels:
@@ -631,14 +650,23 @@ def setup_structured(A_host: HostCSR, coords,
             # overlap ~10 deep along the curve): 28-minute compiles.
             # (See FootprintMetricSmoother for why not additive/PoU.)
             from ..smoothers.schwarz import (build_local_schwarz,
-                                             build_rank1_schur)
-            builder = {"exact": build_local_schwarz,
-                       "rank1": build_rank1_schur}[fp_solver]
-            fp_schwarz = builder(
-                A, seeds=fp_seeds, maxlvl=fp_maxlvl,
-                mmsize=max(params.schwarz_mmsize,
-                           max(len(b) for b in fp_blocks) + 1),
-                symmetric=True, dtype=dtype)
+                                             build_rank1_schur,
+                                             build_diag_rank1)
+            mm = max(params.schwarz_mmsize,
+                     max(len(b) for b in fp_blocks) + 1)
+            if fp_solver == "rank1g":
+                fp_schwarz = build_diag_rank1(
+                    A, gd["seeds"],
+                    (gd["u_idx"], gd["u_val"], gd["c"], gd["Dg"],
+                     gd["l1ad"]),
+                    maxlvl=fp_maxlvl, mmsize=mm, symmetric=True,
+                    dtype=dtype)
+            else:
+                builder = {"exact": build_local_schwarz,
+                           "rank1": build_rank1_schur}[fp_solver]
+                fp_schwarz = builder(
+                    A, seeds=fp_seeds, maxlvl=fp_maxlvl,
+                    mmsize=mm, symmetric=True, dtype=dtype)
         lmax = _estimate_lmax(A, blockinv, mask, s)
         if fp_blocks is not None:
             # exact DIA + footprint-block split (O(1000) offsets would
@@ -694,6 +722,21 @@ def setup_structured(A_host: HostCSR, coords,
         if fp_blocks is not None:
             fp_blocks = [np.unique(blk // s) for blk in fp_blocks]
             fp_seeds = np.unique(fp_seeds // s)
+            if gd is not None:
+                # window restriction of the gamma data: directions sum
+                # within windows (P^T u), l1 bounds sum (triangle ineq.)
+                ngc = len(gd["Dg"]) // s
+                gd["Dg"] = gd["Dg"][:ngc * s].reshape(ngc, s).sum(1)
+                gd["l1ad"] = gd["l1ad"][:ngc * s].reshape(ngc, s).sum(1)
+                gd["seeds"] = gd["seeds"] // s
+                ui2, uv2 = [], []
+                for ui, uv in zip(gd["u_idx"], gd["u_val"]):
+                    uq, inv = np.unique(ui // s, return_inverse=True)
+                    vv = np.zeros(len(uq))
+                    np.add.at(vv, inv, uv)
+                    ui2.append(uq)
+                    uv2.append(vv)
+                gd["u_idx"], gd["u_val"] = ui2, uv2
         s = 4
 
     # stitch level nc = next level's actual (padded) row count; the

@@ -272,7 +272,7 @@ class ShardedChebSmoother:
     Symmetric (reverse is a no-op)."""
 
     def __init__(self, dataA4, offsA, dataC4, offsC, dataA2, n, padr, rb,
-                 lmax, lmin, degree, mesh, interpret=False):
+                 lmax, lmin, degree, mesh, interpret=False, n_orig=None):
         self.dataA4 = dataA4     # (nblocks, ndA, rb, 128) P("p",...)
         self.dataC4 = dataC4
         self.dataA2 = dataA2     # (ndA, nrows, 128) P(None,"p",None) —
@@ -289,12 +289,13 @@ class ShardedChebSmoother:
         self.degree = int(degree)
         self.mesh = mesh
         self.interpret = bool(interpret)
+        self.n_orig = int(n if n_orig is None else n_orig)
 
     def tree_flatten(self):
         return ((self.dataA4, self.dataC4, self.dataA2),
                 (self.offsA, self.offsC, self.n, self.padr, self.rb,
                  self.lmax, self.lmin, self.degree, self.mesh,
-                 self.interpret))
+                 self.interpret, self.n_orig))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -304,11 +305,36 @@ class ShardedChebSmoother:
     @classmethod
     def build(cls, A_dia: DIA, blockinv, mask, lmax, lmin, degree, mesh,
               interpret=False) -> "ShardedChebSmoother":
-        """blockinv: (ng, F, F) host array; mask folded into C planes."""
-        n = A_dia.shape[0]
+        """blockinv: (ng, F, F) host array; mask folded into C planes.
+
+        Levels whose size misses the kernel layout contract
+        (n % 128*8*ndev, F-block shard alignment) are padded here with
+        inert identity rows (zero C rows -> the smoother never touches
+        them); smooth() pads/slices the iterate around the shard_map.
+        This removes the per-level XLA fallback of round 1 — every
+        sharded level runs the exact kernels (VERDICT item 9)."""
+        import math
+        n_orig = A_dia.shape[0]
         ndev = mesh.shape["p"]
         bi = np.asarray(blockinv)
         F = bi.shape[1]
+        unit = math.lcm(LANES * 8 * ndev, F)
+        n = -(-n_orig // unit) * unit
+        if n != n_orig:
+            nd = A_dia.data.shape[0]
+            host = np.asarray(A_dia.data)
+            data = np.zeros((nd, n), dtype=host.dtype)
+            data[:, :n_orig] = host
+            if 0 in A_dia.offsets:
+                data[list(A_dia.offsets).index(0), n_orig:] = 1.0
+            A_dia = DIA(A_dia.offsets, jnp.asarray(data), (n, n),
+                        A_dia.nnz)
+            bi2 = np.zeros((n // F, F, F), dtype=bi.dtype)
+            bi2[:bi.shape[0]] = bi
+            bi2[bi.shape[0]:] = np.eye(F)
+            bi = bi2
+            mask = np.concatenate(
+                [np.asarray(mask), np.zeros(n - n_orig)])
         coffs, cdata = blockinv_dia(bi, np.asarray(mask))
         all_offs = tuple(A_dia.offsets) + tuple(coffs)
         padr, rb, rl = plan_sharded(n, ndev, all_offs)
@@ -325,10 +351,15 @@ class ShardedChebSmoother:
         return cls(jax.device_put(dataA4, sp4), A_dia.offsets,
                    jax.device_put(dataC4, sp4), coffs,
                    jax.device_put(dataA2, sp2), n, padr, rb,
-                   lmax, lmin, degree, mesh, interpret)
+                   lmax, lmin, degree, mesh, interpret, n_orig=n_orig)
+
+    def _padded(self, v):
+        return jnp.pad(v, (0, self.n - self.n_orig)) \
+            if self.n != self.n_orig else v
 
     def smooth(self, A, x, b, iters=1, reverse=False):
         del A, reverse    # symmetric; operator planes are carried
+        x, b = self._padded(x), self._padded(b)
         theta, coefs = _cheb_coefs(self.lmax, self.lmin, self.degree)
         ndev = self.mesh.shape["p"]
         offsA, offsC = self.offsA, self.offsC
@@ -348,17 +379,19 @@ class ShardedChebSmoother:
                         interpret, xp, b2, d2, dA4, dC4)
             return x2.reshape(-1).astype(xl.dtype)
 
-        return shard_map(body, mesh=self.mesh,
-                         in_specs=(P("p"), P("p"),
-                                   P("p", None, None, None),
-                                   P("p", None, None, None)),
-                         out_specs=P("p"), check_vma=False)(
+        y = shard_map(body, mesh=self.mesh,
+                      in_specs=(P("p"), P("p"),
+                                P("p", None, None, None),
+                                P("p", None, None, None)),
+                      out_specs=P("p"), check_vma=False)(
             x, b, self.dataA4, self.dataC4)
+        return y[:self.n_orig]
 
     def smooth_residual(self, A, x, b, iters=1):
         """(x_smoothed, b - A x_smoothed): the residual sweep reuses the
         step kernel's machinery with one extra exchange + launch."""
         del A
+        x, b = self._padded(x), self._padded(b)
         theta, coefs = _cheb_coefs(self.lmax, self.lmin, self.degree)
         ndev = self.mesh.shape["p"]
         offsA, offsC = self.offsA, self.offsC
@@ -381,10 +414,11 @@ class ShardedChebSmoother:
             return (x2.reshape(-1).astype(xl.dtype),
                     r2.reshape(-1).astype(xl.dtype))
 
-        return shard_map(body, mesh=self.mesh,
+        y, r = shard_map(body, mesh=self.mesh,
                          in_specs=(P("p"), P("p"),
                                    P("p", None, None, None),
                                    P("p", None, None, None),
                                    P(None, "p", None)),
                          out_specs=(P("p"), P("p")), check_vma=False)(
             x, b, self.dataA4, self.dataC4, self.dataA2)
+        return y[:self.n_orig], r[:self.n_orig]

@@ -318,8 +318,14 @@ def distributed_grid_solve(A_host: HostCSR, b, dims, F=1,
                                dtype=np.dtype(dtype).name)
     mults = ndev * 2 ** shard_depth
     if use_pallas:
+        # only LEVEL 0 (the outer operator + finest smoother) needs the
+        # layout contract met by grid padding; deeper sharded levels pad
+        # themselves with inert identity rows inside
+        # ShardedChebSmoother.build, so the fine grid no longer inflates
+        # for their sake (round-1 cost: ~1.26x rows at n=512)
         try:
-            mults = _dist_pallas_mults(dims, F, ndev, shard_depth)
+            mults = _dist_pallas_mults(dims, F, ndev, shard_depth,
+                                       pallas_levels=1)
         except ValueError:
             use_pallas = False
     A2, b2, dims2, mask2 = pad_grid_problem(A_host, b, dims, F, mults)
@@ -330,8 +336,10 @@ def distributed_grid_solve(A_host: HostCSR, b, dims, F=1,
                                   cheb_degree=cheb_degree, pallas=False)
     prec = shard_preconditioner(prec, mesh, replicate_below=n_sd)
     Adia = grid_system(A2, slots, dtype=dtype, pallas=False)
+    n_up = 0
+    n_shardable = sum(1 for L in prec.levels if L.A.shape[0] >= n_sd)
     if use_pallas:
-        prec, _ = _upgrade_pallas_levels(prec, mesh, n_sd, interpret)
+        prec, n_up = _upgrade_pallas_levels(prec, mesh, n_sd, interpret)
         from .pallas_dist import ShardedPDIA
         try:
             Adia = ShardedPDIA.from_dia(Adia, mesh, interpret=interpret)
@@ -348,4 +356,9 @@ def distributed_grid_solve(A_host: HostCSR, b, dims, F=1,
               maxiter=maxiter)
     x2 = np.asarray(res.x)[np.asarray(slots)]
     res.x = unpad_grid_vector(x2, dims, dims2, F)
+    res.dist_info = {"ndev": ndev, "nflat": nsl,
+                     "levels": len(prec.levels),
+                     "sharded_levels": n_shardable,
+                     "pallas_levels": n_up,
+                     "outer_pallas": type(Adia).__name__ == "ShardedPDIA"}
     return res, mesh

@@ -111,7 +111,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  tol=1e-8, maxiter=500, method="cg", stop_type=2,
                  dtype=jnp.float64, callback=None,
                  grid=None, structured_coords=None, structured_order=None,
-                 algebraic_below=0,
+                 algebraic_below=0, fp_solver="exact", coupling=None,
                  pallas=None, refine=0, inner_tol=1e-6,
                  timing_runs=1) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
@@ -155,11 +155,19 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         if prm.dtype != wanted:
             prm = replace(prm, dtype=wanted)
         t0 = time.time()
+        gamma_data = None
+        if coupling is not None and fp_solver == "rank1g":
+            # coupling = (gamma, Pi, Mq): the dumped metric factorization
+            # (io_utils.load_coupling) -> gamma-exact O(m) smoother data
+            from ..smoothers.schwarz import rank1_gamma_data
+            gamma_data = rank1_gamma_data(A, *coupling, sizes=sizes)
         prec, slots, nsl = setup_structured(A, structured_coords, prm,
                                             dtype=dtype, pallas=pallas,
                                             idofs=idofs,
                                             order=structured_order
                                             or "morton",
+                                            fp_solver=fp_solver,
+                                            gamma_data=gamma_data,
                                             algebraic_below=algebraic_below)
         t_setup = time.time() - t0
         Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype,

@@ -421,6 +421,181 @@ class Rank1SchurSmoother:
     smooth = LocalSchwarzSmoother.smooth
 
 
+@jax.tree_util.register_pytree_node_class
+class DiagRank1Smoother:
+    """Gamma-EXACT footprint smoother with O(m) storage per block.
+
+    The designed fix for Rank1SchurSmoother's two failure modes
+    (CLAUDE.md round-2 backlog): with the metric factorization
+    A = AD + gamma R^T Mq R kept through assembly (io_utils.load_coupling)
+    the block solve for seed curve-dof s models
+
+        B_s = diag(D) + c_s u_s u_s^T,
+        u_s = [1; -pi_s]   (the seed's coupling direction, EXACT),
+        c_s = gamma * lump(Mq)_s,
+        D_j = l1(AD)_j + (gamma*l1(M)_j - sum_s' c_s' |u_s'[j]| *
+              ||u_s'||_1)_+
+
+    i.e. the seed's own gamma lives ONLY in the rank-1 term (no double
+    count in D), and OTHER overlapping seeds' gamma is l1-bounded into D
+    (their directions are solved exactly by their own blocks in the
+    multiplicative sweep).  The sign pattern of every seed's
+    contribution matches M's, so the l1 split is additive and
+    B_s >= A|block up to the mass-lumping perturbation.  Solve is
+    Sherman-Morrison on diagonal + rank-1: O(m) storage and flops.
+
+    Application machinery (local residuals from padded row data,
+    colored multiplicative, symmetric) as LocalSchwarzSmoother."""
+
+    def __init__(self, dof_ids, dinv, u, c, row_cols, row_vals,
+                 symmetric=True):
+        self.dof_ids = tuple(dof_ids)        # per color: (nb, m)
+        self.dinv = tuple(dinv)              # per color: (nb, m)
+        self.u = tuple(u)                    # per color: (nb, m)
+        self.c = tuple(c)                    # per color: (nb,)
+        self.row_cols = tuple(row_cols)      # per color: (nb, m, K)
+        self.row_vals = tuple(row_vals)
+        self.symmetric = symmetric
+
+    def tree_flatten(self):
+        return ((self.dof_ids, self.dinv, self.u, self.c,
+                 self.row_cols, self.row_vals), (self.symmetric,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        ids, dinv, u, c, rc, rv = ch
+        return cls(ids, dinv, u, c, rc, rv, aux[0])
+
+    def _color_update(self, x, b, cc):
+        xpad = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+        bpad = jnp.concatenate([b, jnp.zeros((1,), dtype=b.dtype)])
+        ax = jnp.einsum("bmk,bmk->bm", self.row_vals[cc],
+                        xpad[self.row_cols[cc]])
+        r = bpad[self.dof_ids[cc]] - ax
+        dinv, u, c = self.dinv[cc], self.u[cc], self.c[cc]
+        # (D + c u u^T)^{-1} r = D^{-1} r - D^{-1}u c (u^T D^{-1} r)
+        #                                   / (1 + c u^T D^{-1} u)
+        t = jnp.sum(u * dinv * u, axis=1)
+        udr = jnp.sum(u * dinv * r, axis=1)
+        coef = c * udr / (1.0 + c * t)
+        delta = dinv * (r - u * coef[:, None])
+        xpad = xpad.at[self.dof_ids[cc].reshape(-1)].add(
+            delta.reshape(-1).astype(x.dtype))
+        return xpad[:-1]
+
+    smooth = LocalSchwarzSmoother.smooth
+
+
+def rank1_gamma_data(A: HostCSR, gamma, Pi: HostCSR, Mq: HostCSR, sizes):
+    """Precompute DiagRank1Smoother's inputs in ORIGINAL dof space from
+    the metric factorization (A = AD + gamma R^T Mq R, block layout
+    [3d; curve] — emi_3d1d.get_system(return_coupling=True) /
+    io_utils.load_coupling).
+
+    Returns (u_idx, u_val, c, D_gamma, l1_AD):
+      u_idx[s]/u_val[s]: seed s's direction u_s = e_{n3+s} - pi_s,
+      c[s] = gamma * lump(Mq)_s,
+      D_gamma[j] = (gamma*l1(M)_j - sum_s c_s |u_s[j]| ||u_s||_1)_+,
+      l1_AD[j] = l1 row sums of AD = A - gamma*M."""
+    n3, n1 = sizes
+    n = n3 + n1
+    # lumped curve mass
+    m_lump = np.zeros(n1)
+    np.add.at(m_lump, np.repeat(np.arange(n1), np.diff(Mq.indptr)),
+              Mq.data)
+    c = float(gamma) * m_lump
+    u_idx, u_val = [], []
+    for s in range(n1):
+        lo, hi = Pi.indptr[s], Pi.indptr[s + 1]
+        u_idx.append(np.concatenate(
+            [[n3 + s], Pi.indices[lo:hi].astype(np.int64)]))
+        u_val.append(np.concatenate([[1.0], -Pi.data[lo:hi]]))
+    # assembled metric part M = R^T Mq R and its l1 rows
+    from ..sparse import bmat
+    m01 = Pi.T.matmat(Mq)
+    M = bmat([[Pi.T.matmat(Mq.matmat(Pi)), m01.scale(-1.0)],
+              [m01.T.scale(-1.0), Mq]])
+    l1_M = np.zeros(n)
+    np.add.at(l1_M, np.repeat(np.arange(n), np.diff(M.indptr)),
+              np.abs(M.data))
+    l1_M *= float(gamma)
+    attr = np.zeros(n)
+    for s in range(n1):
+        attr[u_idx[s]] += c[s] * np.abs(u_val[s]) * \
+            np.abs(u_val[s]).sum()
+    D_gamma = np.maximum(l1_M - attr, 0.0)
+    AD = A.add(M, beta=-float(gamma))
+    l1_AD = np.zeros(n)
+    np.add.at(l1_AD, np.repeat(np.arange(n), np.diff(AD.indptr)),
+              np.abs(AD.data))
+    return u_idx, u_val, c, D_gamma, l1_AD
+
+
+def build_diag_rank1(A_host: HostCSR, seeds, gamma_data, maxlvl=1,
+                     mmsize=200, symmetric=True, dtype=jnp.float32):
+    """DiagRank1Smoother from the host matrix + gamma factorization.
+
+    gamma_data: (u_idx, u_val, c, D_gamma, l1_AD) — all in the SAME
+    index space as A_host (slot space on the structured path):
+      u_idx[k]/u_val[k]: the k-th seed's coupling direction support and
+      values (u_idx[k][0] == seeds[k], u_val[k][0] == 1),
+      c: (nseeds,) gamma * lumped mass per seed,
+      D_gamma: (n,) l1 of the OTHER-seed gamma per dof (attr-subtracted),
+      l1_AD: (n,) l1 row sums of the gamma-free part."""
+    n = A_host.shape[0]
+    seeds = np.asarray(seeds, dtype=np.int64)
+    u_idx, u_val, c_arr, D_gamma, l1_AD = gamma_data
+    blocks = _bfs_blocks(A_host, seeds, maxlvl, mmsize)
+    # seed-first, and force the seed's full u-support into the block so
+    # the rank-1 term is exact (BFS may cap before covering it)
+    blocks2 = []
+    for s, blk, ui in zip(seeds, blocks, u_idx):
+        allb = np.unique(np.concatenate([np.asarray(ui), blk]))
+        blocks2.append(np.concatenate([[s], allb[allb != s]]))
+    blocks = blocks2
+    colors = _color_blocks(blocks, n)
+    ncol = int(colors.max()) + 1 if len(blocks) else 0
+    m = max((len(b) for b in blocks), default=1)
+    indptr, indices, data = A_host.indptr, A_host.indices, A_host.data
+    K = int(max((indptr[i + 1] - indptr[i] for blk in blocks
+                 for i in blk), default=1))
+    D_full = np.asarray(l1_AD) + np.asarray(D_gamma)
+    D_full = np.where(D_full > 0, D_full, 1.0)
+    ids_c, di_c, u_c, c_c, rc_c, rv_c = [], [], [], [], [], []
+    for col in range(ncol):
+        kidx = np.flatnonzero(colors == col)
+        nb = len(kidx)
+        ids = np.full((nb, m), n, dtype=np.int32)
+        dinv = np.zeros((nb, m))
+        uu = np.zeros((nb, m))
+        cc = np.zeros(nb)
+        rcols = np.full((nb, m, K), n, dtype=np.int32)
+        rvals = np.zeros((nb, m, K))
+        for kk, bi in enumerate(kidx):
+            blk = blocks[bi]
+            sz = len(blk)
+            ids[kk, :sz] = blk
+            dinv[kk, :sz] = 1.0 / D_full[blk]
+            pos = {int(d): t for t, d in enumerate(blk)}
+            for d, v in zip(u_idx[bi], u_val[bi]):
+                t = pos.get(int(d))
+                if t is not None:
+                    uu[kk, t] = v
+            cc[kk] = c_arr[bi]
+            for t, i in enumerate(blk):
+                lo, hi = indptr[i], indptr[i + 1]
+                rcols[kk, t, :hi - lo] = indices[lo:hi]
+                rvals[kk, t, :hi - lo] = data[lo:hi]
+        ids_c.append(jnp.asarray(ids))
+        di_c.append(jnp.asarray(dinv, dtype=dtype))
+        u_c.append(jnp.asarray(uu, dtype=dtype))
+        c_c.append(jnp.asarray(cc, dtype=dtype))
+        rc_c.append(jnp.asarray(rcols))
+        rv_c.append(jnp.asarray(rvals, dtype=dtype))
+    return DiagRank1Smoother(ids_c, di_c, u_c, c_c, rc_c, rv_c,
+                             symmetric)
+
+
 def build_rank1_schur(A_host: HostCSR, seeds, maxlvl=1, mmsize=200,
                       symmetric=True, dtype=jnp.float32):
     """Rank1SchurSmoother from the host matrix (blocks = maxlvl-balls
