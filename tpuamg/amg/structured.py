@@ -199,9 +199,13 @@ def split_footprint_operator(A: HostCSR, blocks):
     exact by construction (each entry lives in exactly one part)."""
     n = A.shape[0]
     r, c, v = A.to_coo()
-    key_to_idx = {int(rr) * n + int(cc): i
-                  for i, (rr, cc) in enumerate(zip(r, c))}
-    offs = c - r
+    # vectorized entry lookup (sorted-key searchsorted) + per-offset
+    # coverage via bincount: the dict/per-offset-scan version was
+    # O(nblocks*m^2 dict probes + noffsets*nnz) — quadratic blow-up at
+    # production scale (86k distinct offsets x 4.3M nnz)
+    keys = r.astype(np.int64) * n + c
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order]
     covered = np.zeros(len(r), dtype=bool)
     assign = np.full(len(r), -1, dtype=np.int64)
     pos_i = np.zeros(len(r), dtype=np.int32)
@@ -209,18 +213,22 @@ def split_footprint_operator(A: HostCSR, blocks):
     for bid, blk in enumerate(blocks):
         m = len(blk)
         kk = (blk[:, None].astype(np.int64) * n + blk[None, :]).ravel()
-        for t, k in enumerate(kk):
-            idx = key_to_idx.get(int(k))
-            if idx is not None and not covered[idx]:
-                covered[idx] = True
-                assign[idx] = bid
-                pos_i[idx] = t // m
-                pos_j[idx] = t % m
-    to_block = np.zeros(len(r), dtype=bool)
-    for o in np.unique(offs):
-        sel = offs == o
-        if o != 0 and covered[sel].all():
-            to_block[sel] = True
+        loc = np.searchsorted(skeys, kk)
+        locc = np.minimum(loc, len(skeys) - 1)
+        hit = (loc < len(skeys)) & (skeys[locc] == kk)
+        idx = order[locc[hit]]
+        fresh = ~covered[idx]
+        idxf = idx[fresh]
+        covered[idxf] = True
+        assign[idxf] = bid
+        t = np.flatnonzero(hit)[fresh]
+        pos_i[idxf] = (t // m).astype(np.int32)
+        pos_j[idxf] = (t % m).astype(np.int32)
+    offs = c - r
+    uoff, oinv = np.unique(offs, return_inverse=True)
+    tot = np.bincount(oinv)
+    ncov = np.bincount(oinv, weights=covered).astype(np.int64)
+    to_block = ((uoff != 0) & (ncov == tot))[oinv]
     keep = ~to_block
     A_dia = HostCSR.from_coo(r[keep], c[keep], v[keep], A.shape)
     nb = len(blocks)
@@ -532,6 +540,74 @@ def hem_tree_slots(A_host: HostCSR, coords, theta=0.1, max_rounds=30,
     return slots0, nsl
 
 
+def lattice_tiled_slots(coords, idofs, n, tile=8):
+    """Tiled-lattice slot ordering for grid-bulk + curve systems.
+
+    Morton RANK ordering smears offsets on non-power-of-two boxes (a
+    full 65^3 box has ~79k distinct 27-stencil rank offsets — measured),
+    because rank != code unless the box is a full power of two.  Here
+    the bulk dofs are snapped to their integer lattice, the lattice is
+    padded to full `tile`^d tiles (ghost slots), tiles are ordered
+    row-major and slots INSIDE a tile by Morton code — within a FULL
+    power-of-two tile rank == code, so every in-tile and cross-tile
+    neighbor offset is a trace-time constant: the whole stencil takes
+    O(stencil) distinct offsets at ANY problem size (the scale-breaker
+    for the Morton order at production 3D-1D size, 86k offsets).
+
+    Interface dofs (idofs: the curve) get their own region AFTER the
+    bulk slots, ordered by Morton code of their coordinates (curve
+    locality); their wide couplings to the bulk are exactly the entries
+    the footprint split moves out of the DIA.
+
+    The s=2/4 windows of the structured hierarchy are Morton-consecutive
+    in-tile slots: isotropic 2x coarsening inside tiles; window
+    coarsening keeps the tiled structure (tile size shrinks 8->2 over
+    three levels, then windows group row-major tiles).
+
+    Returns (slots0, nsl); raises ValueError when the bulk dofs do not
+    occupy a clean lattice (caller falls back to 'morton')."""
+    n_all = n
+    idofs = np.asarray(idofs, dtype=np.int64) if idofs is not None \
+        else np.empty(0, dtype=np.int64)
+    bulk = np.setdiff1d(np.arange(n_all), idofs)
+    crd = np.asarray(coords, dtype=np.float64)
+    cb = crd[bulk]
+    d = cb.shape[1]
+    q = np.zeros((len(bulk), d), dtype=np.int64)
+    for k in range(d):
+        h = _grid_spacing(cb[:, k])
+        if h <= 0:
+            raise ValueError("degenerate bulk lattice axis")
+        qi = np.round((cb[:, k] - cb[:, k].min()) / h)
+        if np.max(np.abs(qi - np.round(qi))) > 1e-6:
+            raise ValueError("bulk dofs off-lattice")
+        q[:, k] = qi.astype(np.int64)
+    dims = q.max(axis=0) + 1
+    # occupancy check: unique cell per dof, full box
+    flat = q[:, 0]
+    for k in range(1, d):
+        flat = flat * dims[k] + q[:, k]
+    if len(np.unique(flat)) != len(bulk) or len(bulk) != int(
+            np.prod(dims)):
+        raise ValueError("bulk dofs are not a full lattice")
+    ntile = -(-dims // tile)
+    tid = q // tile
+    tflat = tid[:, 0]
+    for k in range(1, d):
+        tflat = tflat * ntile[k] + tid[:, k]
+    code_in = morton_code(q % tile, bits=4)
+    slots_bulk = tflat * (tile ** d) + code_in.astype(np.int64)
+    nbulk = int(np.prod(ntile)) * tile ** d
+    slots0 = np.empty(n_all, dtype=np.int64)
+    slots0[bulk] = slots_bulk
+    if len(idofs):
+        corder = np.argsort(morton_code(crd[idofs]), kind="stable")
+        slots0[idofs[corder]] = nbulk + np.arange(len(idofs))
+    nsl = nbulk + len(idofs)
+    nsl = -(-nsl // 2) * 2
+    return slots0, nsl
+
+
 def setup_structured(A_host: HostCSR, coords,
                      params: AMGParameters = AMGParameters(),
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
@@ -567,7 +643,18 @@ def setup_structured(A_host: HostCSR, coords,
     """
     n0 = A_host.shape[0]
     crd = np.asarray(coords, dtype=np.float64)
-    if order is not None and order.startswith("hem") and pairs is None:
+    if order in ("tiled", "auto") and pairs is None:
+        try:
+            slots0, nsl = lattice_tiled_slots(crd, idofs, n0)
+        except ValueError:
+            if order == "tiled":
+                raise
+            order = "morton"
+        else:
+            order = "_tiled_done"
+    if order == "_tiled_done":
+        pass
+    elif order is not None and order.startswith("hem") and pairs is None:
         # "hem" = global multilevel HEM tree; "hem_banded[:W]" = the
         # banded hybrid (HEM pairing inside Morton macro-windows of W
         # units, default 64 — narrow DIA bands, metric-aware windows)

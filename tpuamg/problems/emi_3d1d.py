@@ -42,9 +42,11 @@ from .solve import solve_system
 
 
 def synthetic_neuron_curve(n_main=40, n_branches=6, seed=7,
-                           box=(1.0, 1.0, 1.0)):
+                           box=(1.0, 1.0, 1.0), nseg=8):
     """Branching piecewise-linear curve inside the box — stand-in for the
-    HDF5 neuron mesh (PolyIC_3AS2_1.CNG.c1.h5) when data is absent."""
+    HDF5 neuron mesh (PolyIC_3AS2_1.CNG.c1.h5) when data is absent.
+    Production-scale runs use n_main/n_branches/nseg to reach the real
+    neuron's ~1e4 curve dofs (VERDICT round-1 item 3)."""
     rng = np.random.default_rng(seed)
     bx, by, bz = box
     # main axon: smooth random walk along x
@@ -61,9 +63,9 @@ def synthetic_neuron_curve(n_main=40, n_branches=6, seed=7,
         direction = rng.standard_normal(3)
         direction /= np.linalg.norm(direction)
         length = rng.uniform(0.15, 0.3)
-        nseg = 8
         ts = np.linspace(0, length, nseg + 1)[1:]
-        wiggle = 0.03 * rng.standard_normal((nseg, 3)).cumsum(axis=0)
+        wiggle = (0.03 * 8 / nseg) * rng.standard_normal(
+            (nseg, 3)).cumsum(axis=0)
         pts = start[None] + ts[:, None] * direction[None] + wiggle
         pts = np.clip(pts, 0.05 * np.array(box), 0.95 * np.array(box))
         verts.append(pts)
@@ -157,6 +159,12 @@ def main(argv=None):
                         help="3D background mesh resolution")
     parser.add_argument("-neuron_h5", type=str, default=None,
                         help="Path to neuron HDF5 mesh (downloads.sh data)")
+    parser.add_argument("-n_main", type=int, default=40,
+                        help="synthetic neuron: main-axon vertices")
+    parser.add_argument("-n_branches", type=int, default=6,
+                        help="synthetic neuron: branch count")
+    parser.add_argument("-nseg", type=int, default=8,
+                        help="synthetic neuron: segments per branch")
     args, _ = parser.parse_known_args(argv)
 
     import jax
@@ -189,7 +197,9 @@ def main(argv=None):
         mesh3d.vertices = (lo - pad) + mesh3d.vertices * (hi - lo + 2 * pad)
     else:
         mesh3d = unit_cube_mesh(args.mesh_n)
-        curve = synthetic_neuron_curve()
+        curve = synthetic_neuron_curve(n_main=args.n_main,
+                                       n_branches=args.n_branches,
+                                       nseg=args.nseg)
 
     start = time.time()
     A, b, sizes, coupling = get_system(mesh3d, curve, k3=sigma3d,

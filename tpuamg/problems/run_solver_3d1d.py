@@ -60,7 +60,12 @@ def main(argv=None):
                        method=solver_cfg.method,
                        stop_type=solver_cfg.stop_type,
                        structured_coords=coords if use_structured
-                       else None)
+                       else None,
+                       # tiled-lattice slot order when the bulk is a
+                       # clean grid (O(stencil) DIA offsets at ANY size
+                       # — the Morton rank order smears to ~80k distinct
+                       # offsets at production scale), Morton fallback
+                       structured_order="auto")
     print_red(f"niters={rep.niters} converged={rep.converged} "
               f"setup={rep.t_setup:.2f}s solve={rep.t_solve:.2f}s")
     path = write_solution(args.outdir, rep.x)

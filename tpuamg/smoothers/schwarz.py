@@ -492,10 +492,13 @@ def rank1_gamma_data(A: HostCSR, gamma, Pi: HostCSR, Mq: HostCSR, sizes):
     [3d; curve] — emi_3d1d.get_system(return_coupling=True) /
     io_utils.load_coupling).
 
-    Returns (u_idx, u_val, c, D_gamma, l1_AD):
+    Returns (u_idx, u_val, c, l1_Mg, l1_AD):
       u_idx[s]/u_val[s]: seed s's direction u_s = e_{n3+s} - pi_s,
       c[s] = gamma * lump(Mq)_s,
-      D_gamma[j] = (gamma*l1(M)_j - sum_s c_s |u_s[j]| ||u_s||_1)_+,
+      l1_Mg[j] = gamma * l1 row sums of M (the OWN seed's share is
+      subtracted PER BLOCK inside build_diag_rank1 — subtracting every
+      seed's share globally would cancel l1_Mg entirely, since under the
+      lumped sign-consistent split attr == l1(M_lumped)),
       l1_AD[j] = l1 row sums of AD = A - gamma*M."""
     n3, n1 = sizes
     n = n3 + n1
@@ -519,16 +522,11 @@ def rank1_gamma_data(A: HostCSR, gamma, Pi: HostCSR, Mq: HostCSR, sizes):
     np.add.at(l1_M, np.repeat(np.arange(n), np.diff(M.indptr)),
               np.abs(M.data))
     l1_M *= float(gamma)
-    attr = np.zeros(n)
-    for s in range(n1):
-        attr[u_idx[s]] += c[s] * np.abs(u_val[s]) * \
-            np.abs(u_val[s]).sum()
-    D_gamma = np.maximum(l1_M - attr, 0.0)
     AD = A.add(M, beta=-float(gamma))
     l1_AD = np.zeros(n)
     np.add.at(l1_AD, np.repeat(np.arange(n), np.diff(AD.indptr)),
               np.abs(AD.data))
-    return u_idx, u_val, c, D_gamma, l1_AD
+    return u_idx, u_val, c, l1_M, l1_AD
 
 
 def build_diag_rank1(A_host: HostCSR, seeds, gamma_data, maxlvl=1,
