@@ -31,7 +31,8 @@ def test_split_operator_is_exact():
     n3, n1 = sizes
     seeds = np.arange(n3, n3 + n1)
     blocks = _neighbor_blocks(A, seeds)
-    A_dia, ids, mats = split_footprint_operator(A, blocks)
+    A_dia, ids, mats, spill = split_footprint_operator(A, blocks)
+    assert spill is None     # uncapped: exact two-part split
     D = DIA.from_host(A_dia, dtype=jnp.float64)
     op = StructuredOp(D, jnp.asarray(ids), jnp.asarray(mats), nnz=A.nnz)
     # the DIA part must be dramatically narrower than the full matrix
@@ -141,3 +142,44 @@ def test_rank1_schur_footprint_moderate_gamma():
     r = pcg(Aop, bj, M=as_operator(prec), tol=1e-8, maxiter=100)
     assert r.converged and r.niters <= 2.5 * max(rep.niters, 10), (
         r.niters, rep.niters)
+
+
+def test_split_operator_spill_cap_exact():
+    """DIA band cap: rare offsets spill to the COO part, matvec exact."""
+    A, b, sizes, _ = _system(1e4)
+    n3, n1 = sizes
+    seeds = np.arange(n3, n3 + n1)
+    blocks = _neighbor_blocks(A, seeds)
+    A_dia, ids, mats, spill = split_footprint_operator(A, blocks,
+                                                       max_offsets=8)
+    assert spill is not None
+    D = DIA.from_host(A_dia, dtype=jnp.float64)
+    assert len(D.offsets) <= 9   # 8 + forced main diagonal
+    op = StructuredOp(D, jnp.asarray(ids), jnp.asarray(mats), nnz=A.nnz,
+                      spill=(jnp.asarray(spill[0]), jnp.asarray(spill[1]),
+                             jnp.asarray(spill[2])))
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(A.shape[0])
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A.matvec(x), rtol=1e-12, atol=1e-10)
+    r = np.asarray(op.residual(jnp.asarray(x), jnp.asarray(b)))
+    np.testing.assert_allclose(r, b - A.matvec(x), rtol=1e-12, atol=1e-10)
+
+
+def test_tiled_order_convergence():
+    """lattice_tiled_slots path: narrow DIA + converging solve."""
+    from tpuamg.amg.structured import lattice_tiled_slots
+    from tpuamg.problems.solve import solve_system
+    from tpuamg.config import AMGParameters
+    A, b, sizes, coords = _system(1e6)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    slots0, nsl = lattice_tiled_slots(coords, idofs, A.shape[0])
+    assert len(np.unique(slots0)) == A.shape[0]
+    prm = AMGParameters(cycle_type="v", dtype="float64",
+                        schwarz_levels=2)
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm,
+                       tol=1e-8, maxiter=100, idofs=idofs,
+                       structured_coords=coords, pallas=False,
+                       structured_order="tiled")
+    assert rep.converged and rep.niters <= 40, rep.niters

@@ -185,17 +185,22 @@ def _lmax_blockinv(A: HostCSR, apply_binv, mask, iters=15, seed=0):
     return float(lam)
 
 
-def resolve_pallas(pallas):
+def resolve_pallas(pallas, dtype=None):
     """Resolve a pallas= flag to (use_pallas, interpret).
 
-    None = auto: fused Pallas kernels on TPU, XLA slice loop elsewhere.
-    True/False force; "interpret" runs the kernels in interpret mode
-    (CPU tests of the exact TPU code path)."""
+    None = auto: fused Pallas kernels on TPU, XLA slice loop elsewhere —
+    and only for f32/bf16 data (the TPU has no native f64; the Mosaic
+    kernels are single-precision).  True/False force; "interpret" runs
+    the kernels in interpret mode (CPU tests of the exact TPU code
+    path)."""
     from ..sparse.dia_pallas import pallas_available, default_backend_is_tpu
     if pallas == "interpret":
         return True, True
     if pallas is None:
-        return pallas_available() and default_backend_is_tpu(), False
+        ok = pallas_available() and default_backend_is_tpu()
+        if ok and dtype is not None and jnp.dtype(dtype).itemsize > 4:
+            ok = False
+        return ok, False
     return bool(pallas), False
 
 
@@ -218,7 +223,7 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
     multi-diagonal Pallas kernels (sparse.dia_pallas) for every operator
     and block-inverse apply; cuts the per-op dispatch count of a V-cycle
     by ~an order of magnitude (docs/PERF_NOTES.md)."""
-    use_pallas, interpret = resolve_pallas(pallas)
+    use_pallas, interpret = resolve_pallas(pallas, dtype)
     nv = int(np.prod(dims))
     assert A_host.shape[0] == nv * F
     slots = interleave_fields(nv, F)
@@ -305,7 +310,7 @@ def grid_system(A_host: HostCSR, slots, dtype=jnp.float32, pallas=None):
     """Outer operator in interleaved order (DIA, or PDIA on TPU)."""
     n = A_host.shape[0]
     D = DIA.from_host(_permute(A_host, slots, n), dtype=dtype)
-    use_pallas, interpret = resolve_pallas(pallas)
+    use_pallas, interpret = resolve_pallas(pallas, dtype)
     if use_pallas:
         from ..sparse.dia_pallas import PDIA
         return PDIA.from_dia(D, interpret=interpret)

@@ -160,8 +160,6 @@ class MGPreconditioner:
     def _additive(self, b):
         """Additive (BPX-like) cycle: smoother contributions from every
         level plus the coarse solve, summed."""
-        contribs = []
-        r = b
         rs = [b]
         for L in self.levels:
             rs.append(L.restrict(rs[-1]))

@@ -139,20 +139,23 @@ class StructuredOp:
     gather + batched MXU einsum + 1-D scatter-add on top of the narrow DIA
     matvec.  ids are padded with n (ghost slot)."""
 
-    def __init__(self, dia, ids, mats, nnz=None):
+    def __init__(self, dia, ids, mats, nnz=None, spill=None):
         self.dia = dia          # DIA or PDIA
         self.ids = ids          # (nb, m) int32
         self.mats = mats        # (nb, m, m)
+        self.spill = spill      # None | (rows, cols, vals): COO leftover
+        #   (entries at rare offsets — bounds the DIA band count; one
+        #   gather + scatter-add per apply, like the block part)
         self.shape = dia.shape
         self.nnz = nnz if nnz is not None else dia.nnz
 
     def tree_flatten(self):
-        return ((self.dia, self.ids, self.mats), (self.nnz,))
+        return ((self.dia, self.ids, self.mats, self.spill), (self.nnz,))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        dia, ids, mats = ch
-        return cls(dia, ids, mats, aux[0])
+        dia, ids, mats, spill = ch
+        return cls(dia, ids, mats, aux[0], spill)
 
     @property
     def dtype(self):
@@ -162,8 +165,12 @@ class StructuredOp:
         xpad = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
         xb = xpad[self.ids]
         yb = jnp.einsum("bij,bj->bi", self.mats, xb)
-        return xpad.at[:].set(0.0).at[self.ids.reshape(-1)].add(
+        y = xpad.at[:].set(0.0).at[self.ids.reshape(-1)].add(
             yb.reshape(-1).astype(x.dtype))[:-1]
+        if self.spill is not None:
+            r_, c_, v_ = self.spill
+            y = y.at[r_].add((v_ * x[c_]).astype(x.dtype))
+        return y
 
     def matvec(self, x):
         return self.dia.matvec(x) + self._block_apply(x)
@@ -188,15 +195,22 @@ def _neighbor_blocks(A: HostCSR, seeds):
         for s in seeds]
 
 
-def split_footprint_operator(A: HostCSR, blocks):
-    """Exact split of A into (A_dia_host, ids, mats).
+def split_footprint_operator(A: HostCSR, blocks, max_offsets=None):
+    """Exact split of A into (A_dia_host, ids, mats, spill).
 
     Every entry coverable by some block (both endpoints in it) is assigned
     to exactly one block; offsets whose entries are ALL coverable (except
     the main diagonal) move entirely to the block part, shrinking the DIA
     offset set from O(1000) to the bulk-stencil set.  Entries at offsets
     that also occur outside the blocks stay in the DIA part — the split is
-    exact by construction (each entry lives in exactly one part)."""
+    exact by construction (each entry lives in exactly one part).
+
+    max_offsets: optional cap on the DIA band count — the most-populated
+    offsets (main diagonal always) stay DIA, the tail moves to a COO
+    ``spill`` (rows, cols, vals) applied as one gather + scatter-add
+    (StructuredOp).  DIA planes are dense (band count x n values), so
+    rare offsets waste ~n reads each; the cap bounds that at any scale.
+    spill is None when nothing is capped."""
     n = A.shape[0]
     r, c, v = A.to_coo()
     # vectorized entry lookup (sorted-key searchsorted) + per-offset
@@ -230,6 +244,17 @@ def split_footprint_operator(A: HostCSR, blocks):
     ncov = np.bincount(oinv, weights=covered).astype(np.int64)
     to_block = ((uoff != 0) & (ncov == tot))[oinv]
     keep = ~to_block
+    spill = None
+    if max_offsets is not None:
+        cnt_keep = np.bincount(oinv[keep], minlength=len(uoff))
+        sel = np.zeros(len(uoff), dtype=bool)
+        sel[np.argsort(cnt_keep)[::-1][:max_offsets]] = True
+        sel[uoff == 0] = True
+        spill_sel = keep & ~sel[oinv]
+        if spill_sel.any():
+            spill = (r[spill_sel].astype(np.int64),
+                     c[spill_sel].astype(np.int64), v[spill_sel])
+            keep = keep & sel[oinv]
     A_dia = HostCSR.from_coo(r[keep], c[keep], v[keep], A.shape)
     nb = len(blocks)
     mpad = max((len(b) for b in blocks), default=1)
@@ -237,9 +262,9 @@ def split_footprint_operator(A: HostCSR, blocks):
     for bid, blk in enumerate(blocks):
         ids[bid, :len(blk)] = blk
     mats = np.zeros((nb, mpad, mpad))
-    sel = np.flatnonzero(to_block)
-    mats[assign[sel], pos_i[sel], pos_j[sel]] = v[sel]
-    return A_dia, ids, mats
+    selb = np.flatnonzero(to_block)
+    mats[assign[selb], pos_i[selb], pos_j[selb]] = v[selb]
+    return A_dia, ids, mats, spill
 
 
 @jax.tree_util.register_pytree_node_class
@@ -613,7 +638,8 @@ def setup_structured(A_host: HostCSR, coords,
                      dtype=jnp.float32, cheb_degree=3, cheb_ratio=8.0,
                      cheb_kind=1, pairs=None, pallas=None, idofs=None,
                      order="morton", algebraic_below=0, fp_maxlvl=1,
-                     fp_solver="exact", gamma_data=None):
+                     fp_solver="exact", gamma_data=None,
+                     dia_max_offsets=1024):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -693,7 +719,7 @@ def setup_structured(A_host: HostCSR, coords,
         np.concatenate([v, np.ones(len(ghost))]), (nsl, nsl))
 
     from ..amg.grid import resolve_pallas
-    use_pallas, interpret = resolve_pallas(pallas)
+    use_pallas, interpret = resolve_pallas(pallas, dtype)
     # Footprint blocks only for genuinely low-dimensional interfaces
     # (3D-1D curve dofs: n1 << n).  For same-dimension interfaces
     # (bidomain/EMI trace coupling) the HEM pair blocks already solve
@@ -758,14 +784,19 @@ def setup_structured(A_host: HostCSR, coords,
         if fp_blocks is not None:
             # exact DIA + footprint-block split (O(1000) offsets would
             # otherwise land in the DIA)
-            A_dia, op_ids, op_mats = split_footprint_operator(A, fp_blocks)
+            A_dia, op_ids, op_mats, spill = split_footprint_operator(
+                A, fp_blocks, max_offsets=dia_max_offsets)
             D = DIA.from_host(A_dia, dtype=dtype)
             if use_pallas:
                 from ..sparse.dia_pallas import PDIA
                 D = PDIA.from_dia(D, interpret=interpret)
             Adev = StructuredOp(D, jnp.asarray(op_ids),
                                 jnp.asarray(op_mats, dtype=dtype),
-                                nnz=A.nnz)
+                                nnz=A.nnz,
+                                spill=None if spill is None else (
+                                    jnp.asarray(spill[0]),
+                                    jnp.asarray(spill[1]),
+                                    jnp.asarray(spill[2], dtype=dtype)))
             smoother = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=dtype),
                 jnp.asarray(mask, dtype=dtype),
@@ -860,7 +891,7 @@ def setup_structured(A_host: HostCSR, coords,
 
 
 def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32,
-                      pallas=None, idofs=None):
+                      pallas=None, idofs=None, dia_max_offsets=1024):
     """Permute the outer operator into slot space (identity ghosts).
 
     idofs: as in setup_structured — when the interface dofs have wide
@@ -875,19 +906,24 @@ def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32,
         np.concatenate([slots[c], ghost]),
         np.concatenate([v, np.ones(len(ghost))]), (n_slots, n_slots))
     from ..amg.grid import resolve_pallas
-    use_pallas, interpret = resolve_pallas(pallas)
+    use_pallas, interpret = resolve_pallas(pallas, dtype)
     if (idofs is not None
             and 0 < len(idofs) * 8 < A_host.shape[0]):
         blocks = _neighbor_blocks(A_slots,
                                   np.sort(slots[np.asarray(idofs)]))
-        A_dia, op_ids, op_mats = split_footprint_operator(A_slots, blocks)
+        A_dia, op_ids, op_mats, spill = split_footprint_operator(
+            A_slots, blocks, max_offsets=dia_max_offsets)
         D = DIA.from_host(A_dia, dtype=dtype)
         if use_pallas:
             from ..sparse.dia_pallas import PDIA
             D = PDIA.from_dia(D, interpret=interpret)
         return StructuredOp(D, jnp.asarray(op_ids),
                             jnp.asarray(op_mats, dtype=dtype),
-                            nnz=A_slots.nnz)
+                            nnz=A_slots.nnz,
+                            spill=None if spill is None else (
+                                jnp.asarray(spill[0]),
+                                jnp.asarray(spill[1]),
+                                jnp.asarray(spill[2], dtype=dtype)))
     D = DIA.from_host(A_slots, dtype=dtype)
     if use_pallas:
         from ..sparse.dia_pallas import PDIA

@@ -168,7 +168,9 @@ def _spmv_kernel(offsets, padr, rb, xpad_ref, data_ref, out_ref):
     rolls = {}
     acc = _diag_sum(offsets, lambda d, off: data_ref[d] * _shifted(
         xblk, rolls, lane, padr, rb, off))
-    out_ref[:] = acc.astype(out_ref.dtype)
+    # lax.convert, NOT .astype: under the enable_x64(False) trace context
+    # jnp canonicalizes float64 -> float32, breaking f64 kernels
+    out_ref[:] = jax.lax.convert_element_type(acc, out_ref.dtype)
 
 
 def _residual_kernel(offsets, padr, rb, xpad_ref, bpad_ref, data_ref,
@@ -179,8 +181,8 @@ def _residual_kernel(offsets, padr, rb, xpad_ref, bpad_ref, data_ref,
     rolls = {}
     acc = _diag_sum(offsets, lambda d, off: data_ref[d] * _shifted(
         xblk, rolls, lane, padr, rb, off))
-    out_ref[:] = (bpad_ref[pl.ds(i * rb, rb), :].astype(jnp.float32)
-                  - acc).astype(out_ref.dtype)
+    out_ref[:] = jax.lax.convert_element_type(
+        bpad_ref[pl.ds(i * rb, rb), :] - acc, out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("offsets", "padr", "rb", "interpret"))
