@@ -99,14 +99,31 @@ def build_cells(only=None):
 
 
 def cell_done(cell):
-    path = os.path.join(ROOT, cell["done"])
-    if not os.path.exists(path):
-        return False
-    with open(path) as f:
-        lines = [ln for ln in f if ln.strip()]
-    if cell["module"] is None:        # emi_3d1d .out file
-        return any("niters=" in ln for ln in lines)
-    return len(lines) >= cell["min_rows"]
+    # a cell already collected into docs/sample_results counts as done
+    # (results/ is gitignored and may be cleaned between sessions)
+    if cell["module"] is None:        # emi_3d1d: row in the docs table
+        radius, gamma = cell["flags"]
+        doc = os.path.join(DOCS, "emi_3d1d_sweep.txt")
+        if os.path.exists(doc):
+            for ln in open(doc):
+                cols = ln.split()
+                if cols[:2] == [radius, gamma]:
+                    return True
+    paths = [os.path.join(ROOT, cell["done"])]
+    if cell["module"] is not None and cell["done"].startswith("results/"):
+        paths.append(os.path.join(DOCS,
+                                  cell["done"].split("results/", 1)[1]))
+    for path in paths:
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            lines = [ln for ln in f if ln.strip()]
+        if cell["module"] is None:
+            if any("niters=" in ln for ln in lines):
+                return True
+        elif len(lines) >= cell["min_rows"]:
+            return True
+    return False
 
 
 def _env():

@@ -42,7 +42,7 @@ def stiffness_matrix(mesh: Mesh, kappa=1.0) -> HostCSR:
                           (mesh.num_cells,))
     if mesh.tdim == mesh.gdim:
         grads, vols = _p1_gradients(mesh)
-        Ke = np.einsum("cid,cjd->cij", grads, grads) \
+        Ke = np.matmul(grads, grads.transpose(0, 2, 1)) \
             * (kap * vols)[:, None, None]
         return _scatter_cell_matrices(mesh, Ke)
     # manifold: grad lam_i . grad lam_j = (G^{-1})_{ij} for i,j >= 1,
@@ -87,14 +87,15 @@ def load_vector(mesh: Mesh, f, degree=4):
     """∫ f v dx with a degree-`degree` rule.  f: (n, gdim) -> (n,)."""
     bary, w = simplex_rule(mesh.tdim, degree)
     X = mesh.cell_coords()                        # (nc, d+1, g)
-    pts = np.einsum("qa,cag->cqg", bary, X)       # (nc, nq, g)
+    # pts[c,q,g] = sum_a bary[q,a] X[c,a,g]  (3-operand einsum was a
+    # profile hot spot; batched matmul hits BLAS)
+    pts = np.matmul(bary, X)                      # (nc, nq, g)
     fv = np.asarray(f(pts.reshape(-1, mesh.gdim))).reshape(pts.shape[:2])
     vols = mesh.cell_volumes()
     # b_local[c, a] = vol_c * sum_q w_q f(x_q) phi_a(x_q);  phi_a = bary[:, a]
-    be = vols[:, None] * np.einsum("cq,q,qa->ca", fv, w, bary)
-    b = np.zeros(mesh.num_vertices)
-    np.add.at(b, mesh.cells.astype(np.int64).ravel(), be.ravel())
-    return b
+    be = vols[:, None] * ((fv * w) @ bary)
+    return np.bincount(mesh.cells.astype(np.int64).ravel(),
+                       weights=be.ravel(), minlength=mesh.num_vertices)
 
 
 def facet_load_vector(mesh: Mesh, g, tags, degree=4):
@@ -112,7 +113,7 @@ def facet_load_vector(mesh: Mesh, g, tags, degree=4):
     fdim = mesh.tdim - 1
     bary, w = simplex_rule(fdim, degree)
     X = mesh.vertices[facets]                     # (nf, fdim+1, g)
-    pts = np.einsum("qa,fag->fqg", bary, X)
+    pts = np.matmul(bary, X)                      # (nf, nq, g)
     gv = np.asarray(g(pts.reshape(-1, mesh.gdim))).reshape(pts.shape[:2])
     # facet measures via Gram determinant
     D = X[:, 1:] - X[:, :1]
@@ -122,8 +123,9 @@ def facet_load_vector(mesh: Mesh, g, tags, degree=4):
     else:
         vols = np.sqrt(np.maximum(np.linalg.det(G), 0)) / np.prod(
             np.arange(1, fdim + 1))
-    be = vols[:, None] * np.einsum("fq,q,qa->fa", gv, w, bary)
-    np.add.at(b, facets.astype(np.int64).ravel(), be.ravel())
+    be = vols[:, None] * ((gv * w) @ bary)
+    b += np.bincount(facets.astype(np.int64).ravel(), weights=be.ravel(),
+                     minlength=mesh.num_vertices)
     return b
 
 

@@ -106,22 +106,46 @@ int64_t coo_to_csr(
     tc[p] = static_cast<int32_t>(cols[k]);
     tv[p] = vals[k];
   }
-  std::vector<int64_t> perm;
   int64_t w = 0;
   indptr[0] = 0;
+  std::vector<std::pair<int32_t, double>> buf;
   for (int64_t i = 0; i < n; ++i) {
     const int64_t lo = cnt[i], hi = cnt[i + 1];
     const int64_t len = hi - lo;
-    perm.resize(len);
-    std::iota(perm.begin(), perm.end(), int64_t(0));
-    const int32_t* rc = tc.data() + lo;
-    std::sort(perm.begin(), perm.end(),
-              [rc](int64_t a, int64_t b) { return rc[a] < rc[b]; });
+    int32_t* rc = tc.data() + lo;
+    double* rv = tv.data() + lo;
+    if (len <= 32) {
+      // insertion sort on (col, val) pairs: FE rows are ~(d+1)^2 long
+      // and the perm+std::sort indirection dominated the profile
+      for (int64_t a = 1; a < len; ++a) {
+        const int32_t ca = rc[a];
+        const double va = rv[a];
+        int64_t b = a - 1;
+        for (; b >= 0 && rc[b] > ca; --b) {
+          rc[b + 1] = rc[b];
+          rv[b + 1] = rv[b];
+        }
+        rc[b + 1] = ca;
+        rv[b + 1] = va;
+      }
+    } else {
+      buf.resize(len);
+      for (int64_t a = 0; a < len; ++a) buf[a] = {rc[a], rv[a]};
+      std::sort(buf.begin(), buf.end(),
+                [](const std::pair<int32_t, double>& x,
+                   const std::pair<int32_t, double>& y) {
+                  return x.first < y.first;
+                });
+      for (int64_t a = 0; a < len; ++a) {
+        rc[a] = buf[a].first;
+        rv[a] = buf[a].second;
+      }
+    }
     int64_t p = 0;
     while (p < len) {
-      const int32_t c = rc[perm[p]];
+      const int32_t c = rc[p];
       double s = 0.0;
-      while (p < len && rc[perm[p]] == c) s += tv[lo + perm[p++]];
+      while (p < len && rc[p] == c) s += rv[p++];
       out_cols[w] = c;
       out_vals[w++] = s;
     }

@@ -244,23 +244,53 @@ class HostCSR:
         on their diagonal. Returns (newA, colA) where colA holds the
         eliminated *columns* (needed to lift boundary data into the RHS:
         b <- b - colA @ g). Mirrors xii.apply_bc semantics
-        (/root/reference/src/bidomain_2d.py:97)."""
+        (/root/reference/src/bidomain_2d.py:97).
+
+        Direct CSR filtering (boolean masks preserve the per-row column
+        order, so no re-sort/coalesce pass is needed — the COO+from_coo
+        version was an assembly-profile hot spot at n=512)."""
         n = self.shape[0]
         is_bc = np.zeros(n, dtype=bool)
         is_bc[np.asarray(dofs, dtype=np.int64)] = True
-        r, c, v = self.to_coo()
-        keep = ~(is_bc[r] | is_bc[c])
-        col_part = is_bc[c] & ~is_bc[r]
-        colA = HostCSR.from_coo(r[col_part], c[col_part], v[col_part],
-                                self.shape, sum_duplicates=False)
+        rows = np.repeat(np.arange(n, dtype=np.int64),
+                         np.diff(self.indptr))
+        bc_r = is_bc[rows]
+        bc_c = is_bc[self.indices]
+        col_part = bc_c & ~bc_r
+        colA = _csr_from_mask(rows, self.indices, self.data, col_part,
+                              self.shape)
+        # newA: non-bc rows keep their non-bc-column entries (in order);
+        # bc rows hold exactly the diagonal entry.
+        keep = ~(bc_r | bc_c)
+        k_rows = rows[keep]
+        counts = np.bincount(k_rows, minlength=n)
+        counts[is_bc] = 1
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        nnz = int(indptr[-1])
+        out_ix = np.empty(nnz, dtype=np.int32)
+        out_dt = np.empty(nnz, dtype=self.data.dtype)
+        # kept entries: grouped by row and column-sorted already;
+        # bc rows have zero kept entries, so no interleaving
+        pos = np.arange(len(k_rows), dtype=np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(np.bincount(k_rows, minlength=n)[:-1], out=starts[1:])
+        dest = indptr[k_rows] + (pos - starts[k_rows])
+        out_ix[dest] = self.indices[keep]
+        out_dt[dest] = self.data[keep]
         dr = np.flatnonzero(is_bc)
-        newA = HostCSR.from_coo(
-            np.concatenate([r[keep], dr]),
-            np.concatenate([c[keep], dr]),
-            np.concatenate([v[keep],
-                            np.full(len(dr), diag_value, self.data.dtype)]),
-            self.shape)
-        return newA, colA
+        out_ix[indptr[dr]] = dr.astype(np.int32)
+        out_dt[indptr[dr]] = diag_value
+        return HostCSR(indptr, out_ix, out_dt, self.shape), colA
+
+
+def _csr_from_mask(rows, indices, data, mask, shape):
+    """CSR from entry-mask over (rows ascending, cols sorted per row)
+    parallel arrays — boolean indexing preserves both orders, so no sort."""
+    r = rows[mask]
+    indptr = np.zeros(shape[0] + 1, dtype=np.int64)
+    np.cumsum(np.bincount(r, minlength=shape[0]), out=indptr[1:])
+    return HostCSR(indptr, indices[mask], data[mask], shape)
 
 
 # ---------------------------------------------------------------------------
@@ -288,19 +318,38 @@ def bmat(blocks) -> HostCSR:
     assert all(s is not None for s in col_sizes), "empty block col"
     roff = np.concatenate([[0], np.cumsum(row_sizes)])
     coff = np.concatenate([[0], np.cumsum(col_sizes)])
-    rows, cols, vals = [], [], []
+    # Direct CSR concatenation: blocks occupy disjoint column ranges and
+    # each block's rows are already column-sorted, so appending block j's
+    # row slice after block j-1's keeps every output row sorted — no COO
+    # round trip / re-sort (the from_coo version was an n=512 assembly
+    # profile hot spot).
+    n_out = int(roff[-1])
+    nnz = sum(b.nnz for row in blocks for b in row if b is not None)
+    indptr = np.zeros(n_out + 1, dtype=np.int64)
+    out_ix = np.empty(nnz, dtype=np.int32)
+    out_dt = np.empty(
+        nnz, dtype=np.result_type(*[b.data.dtype for row in blocks
+                                    for b in row if b is not None]))
     for i in range(nbr):
-        for j in range(nbc):
-            b = blocks[i][j]
-            if b is None:
-                continue
-            r, c, v = b.to_coo()
-            rows.append(r + roff[i])
-            cols.append(c + coff[j])
-            vals.append(v)
-    return HostCSR.from_coo(
-        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
-        (int(roff[-1]), int(coff[-1])))
+        bs = [(j, blocks[i][j]) for j in range(nbc)
+              if blocks[i][j] is not None]
+        nr = int(row_sizes[i])
+        counts = np.zeros(nr, dtype=np.int64)
+        for _, b in bs:
+            counts += np.diff(b.indptr)
+        sl = slice(int(roff[i]) + 1, int(roff[i]) + nr + 1)
+        indptr[sl] = indptr[int(roff[i])] + np.cumsum(counts)
+        base = indptr[int(roff[i]):int(roff[i]) + nr]  # row starts
+        prefix = np.zeros(nr, dtype=np.int64)
+        for j, b in bs:
+            cnt = np.diff(b.indptr)
+            dest = (np.repeat(base + prefix, cnt)
+                    + (np.arange(b.nnz, dtype=np.int64)
+                       - np.repeat(b.indptr[:-1], cnt)))
+            out_ix[dest] = b.indices + np.int32(coff[j])
+            out_dt[dest] = b.data
+            prefix += cnt
+    return HostCSR(indptr, out_ix, out_dt, (n_out, int(coff[-1])))
 
 
 def pad_csr_identity(A: HostCSR, multiple: int) -> HostCSR:
