@@ -86,6 +86,11 @@ def main():
         A, b, sizes, coords = system(1.0, n)
         run("struct fp=exact", n, params=AMGParameters(**base),
             structured_coords=coords, pallas=False)
+    if "deflate" in which:
+        A, b, sizes, coords = system(1.0, n)
+        run("struct fp=deflate", n, with_coupling=True,
+            params=AMGParameters(**base),
+            structured_coords=coords, pallas=False, fp_solver="deflate")
     if "rank1g" in which:
         A, b, sizes, coords = system(1.0, n)
         run("struct fp=rank1g", n, with_coupling=True,

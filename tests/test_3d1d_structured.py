@@ -183,3 +183,25 @@ def test_tiled_order_convergence():
                        structured_coords=coords, pallas=False,
                        structured_order="tiled")
     assert rep.converged and rep.niters <= 40, rep.niters
+
+
+def test_3d1d_hybrid_gamma_tail_flat():
+    """Hybrid tail bounds the extreme-gamma growth: measured n=10 sweep
+    11/10/20/22/23/22 (flat from 1e4 on) vs 11/9/20/26/29/28 purely
+    structured (docs/PERF_NOTES.md round-2 cont.).  Guard the ratio at
+    the 1e10 end on the small fixture."""
+    prm = AMGParameters(cycle_type="v", dtype="float64",
+                        schwarz_levels=2)
+    iters = {}
+    for gamma in (1e0, 1e10):
+        A, b, sizes, coords = _system(gamma)
+        n3, n1 = sizes
+        idofs = np.arange(n3, n3 + n1)
+        rep = solve_system(A, b, "metric_mono", sizes, params=prm,
+                           tol=1e-8, maxiter=150,
+                           structured_coords=coords, idofs=idofs,
+                           pallas=False, algebraic_below=700)
+        assert rep.converged, (gamma, rep.niters)
+        iters[gamma] = rep.niters
+    assert iters[1e10] <= 30, iters
+    assert iters[1e10] <= 2.5 * iters[1e0], iters

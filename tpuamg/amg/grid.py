@@ -256,7 +256,7 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
             lmax = _lmax_blockinv(A, apply_binv, mask_np)
         if use_pallas:
             from ..sparse.dia_pallas import (
-                PDIA, blockinv_dia, FusedChebSmoother,
+                maybe_pdia, blockinv_dia, FusedChebSmoother,
                 fused_cheb_vmem_bytes, FUSED_VMEM_BUDGET)
             coffs, cdata = blockinv_dia(blockinv, mask_np)
             A_dia = DIA.from_host(A, dtype=sdtype)
@@ -272,11 +272,11 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
                     A_dia, C_dia, 1.1 * lmax, 1.1 * lmax / cheb_ratio,
                     cheb_degree, kind=cheb_kind, interpret=interpret)
             else:   # too big for VMEM-resident vectors: launch-per-op
-                C = PDIA.from_dia(C_dia, interpret=interpret)
+                C = maybe_pdia(C_dia, interpret=interpret)
                 smoother = DiaChebyshevSmoother(
                     C, 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
                     kind=cheb_kind)
-            Adev = PDIA.from_dia(A_dia, interpret=interpret)
+            Adev = maybe_pdia(A_dia, interpret=interpret)
         elif F > 1:
             smoother = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=sdtype),
@@ -312,6 +312,6 @@ def grid_system(A_host: HostCSR, slots, dtype=jnp.float32, pallas=None):
     D = DIA.from_host(_permute(A_host, slots, n), dtype=dtype)
     use_pallas, interpret = resolve_pallas(pallas, dtype)
     if use_pallas:
-        from ..sparse.dia_pallas import PDIA
-        return PDIA.from_dia(D, interpret=interpret)
+        from ..sparse.dia_pallas import maybe_pdia
+        return maybe_pdia(D, interpret=interpret)
     return D

@@ -1502,6 +1502,6 @@ def grid_system_fused(A_host: HostCSR, slots, nflat, dtype=jnp.float32,
     D = DIA.from_host(Ak, dtype=dtype)
     use_pallas, interpret = resolve_pallas(pallas)
     if use_pallas:
-        from ..sparse.dia_pallas import PDIA
-        return PDIA.from_dia(D, interpret=interpret)
+        from ..sparse.dia_pallas import maybe_pdia
+        return maybe_pdia(D, interpret=interpret)
     return D

@@ -788,8 +788,8 @@ def setup_structured(A_host: HostCSR, coords,
                 A, fp_blocks, max_offsets=dia_max_offsets)
             D = DIA.from_host(A_dia, dtype=dtype)
             if use_pallas:
-                from ..sparse.dia_pallas import PDIA
-                D = PDIA.from_dia(D, interpret=interpret)
+                from ..sparse.dia_pallas import maybe_pdia
+                D = maybe_pdia(D, interpret=interpret)
             Adev = StructuredOp(D, jnp.asarray(op_ids),
                                 jnp.asarray(op_mats, dtype=dtype),
                                 nnz=A.nnz,
@@ -806,7 +806,7 @@ def setup_structured(A_host: HostCSR, coords,
                 smoother = FootprintMetricSmoother(fp_schwarz, smoother)
         elif use_pallas:
             from ..sparse.dia_pallas import (
-                PDIA, blockinv_dia, FusedChebSmoother,
+                maybe_pdia, blockinv_dia, FusedChebSmoother,
                 fused_cheb_vmem_bytes, FUSED_VMEM_BUDGET)
             coffs, cdata = blockinv_dia(blockinv, mask)
             A_dia = DIA.from_host(A, dtype=dtype)
@@ -821,11 +821,11 @@ def setup_structured(A_host: HostCSR, coords,
                     A_dia, C_dia, 1.1 * lmax, 1.1 * lmax / cheb_ratio,
                     cheb_degree, kind=cheb_kind, interpret=interpret)
             else:
-                C = PDIA.from_dia(C_dia, interpret=interpret)
+                C = maybe_pdia(C_dia, interpret=interpret)
                 smoother = DiaChebyshevSmoother(
                     C, 1.1 * lmax, 1.1 * lmax / cheb_ratio, cheb_degree,
                     kind=cheb_kind)
-            Adev = PDIA.from_dia(A_dia, interpret=interpret)
+            Adev = maybe_pdia(A_dia, interpret=interpret)
         else:
             smoother = BlockChebyshevSmoother(
                 jnp.asarray(blockinv, dtype=dtype),
@@ -915,8 +915,8 @@ def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32,
             A_slots, blocks, max_offsets=dia_max_offsets)
         D = DIA.from_host(A_dia, dtype=dtype)
         if use_pallas:
-            from ..sparse.dia_pallas import PDIA
-            D = PDIA.from_dia(D, interpret=interpret)
+            from ..sparse.dia_pallas import maybe_pdia
+            D = maybe_pdia(D, interpret=interpret)
         return StructuredOp(D, jnp.asarray(op_ids),
                             jnp.asarray(op_mats, dtype=dtype),
                             nnz=A_slots.nnz,
@@ -926,6 +926,6 @@ def structured_system(A_host: HostCSR, slots, n_slots, dtype=jnp.float32,
                                 jnp.asarray(spill[2], dtype=dtype)))
     D = DIA.from_host(A_slots, dtype=dtype)
     if use_pallas:
-        from ..sparse.dia_pallas import PDIA
-        return PDIA.from_dia(D, interpret=interpret)
+        from ..sparse.dia_pallas import maybe_pdia
+        return maybe_pdia(D, interpret=interpret)
     return D

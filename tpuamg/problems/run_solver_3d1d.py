@@ -31,6 +31,14 @@ def main(argv=None):
                         help="Directory with matrices (.npy)")
     parser.add_argument("-outdir", type=str, default="./results/emi_3d1d/",
                         help="Directory to output solution")
+    parser.add_argument("-algebraic_below", type=int, default=60000,
+                        help="structured-path real-dof threshold below "
+                        "which coarse levels switch to the algebraic "
+                        "metric-AMG tail (gamma-robust: HEM aggregation "
+                        "follows the gamma-heavy edges, which geometric "
+                        "window coarsening cannot — n=10 sweep "
+                        "11/10/20/22/23/22 iters over gamma 1..1e10 vs "
+                        "11/9/20/26/29/28 purely structured)")
     args, _ = parser.parse_known_args(argv)
 
     print_red("Path to solver input file: " + args.infile)
@@ -42,6 +50,7 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
 
     import jax
+    import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
 
     amg_params, solver_cfg = dat_to_amg_parameters(args.infile)
@@ -54,13 +63,22 @@ def main(argv=None):
     # the fastest CPU path: fewer, cheaper iterations).
     use_structured = coords is not None and \
         jax.default_backend() == "tpu"
+    # On TPU the device Krylov runs in f32 (halves the tunnel-bound
+    # hierarchy transfer, enables the Pallas DIA kernels — f64 is
+    # software-emulated on TPU) and mixed-precision refinement restores
+    # the .dat tolerance as a TRUE-residual target (solve_system docs).
+    f32_dev = jax.default_backend() == "tpu"
     rep = solve_system(A, b, "metric_hazmath", sizes, idofs=idofs,
                        params=amg_params, tol=solver_cfg.tolerance,
                        maxiter=solver_cfg.maxiter,
                        method=solver_cfg.method,
                        stop_type=solver_cfg.stop_type,
+                       dtype=jnp.float32 if f32_dev else jnp.float64,
+                       refine=3 if f32_dev else 0,
+                       inner_tol=max(solver_cfg.tolerance, 2e-5),
                        structured_coords=coords if use_structured
                        else None,
+                       algebraic_below=args.algebraic_below,
                        # tiled-lattice slot order when the bulk is a
                        # clean grid (O(stencil) DIA offsets at ANY size
                        # — the Morton rank order smears to ~80k distinct

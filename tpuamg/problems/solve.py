@@ -106,6 +106,44 @@ def make_preconditioner(precond: str, A: HostCSR, sizes, idofs=None,
     return as_operator(prec)
 
 
+def _deflated_apply(data, r):
+    Mop, Rell, RTell, Cinv = data
+    rr = Rell.matvec(r)
+    return Mop(r) + RTell.matvec(Cinv @ rr)
+
+
+def _deflated_operator(Mop, A, coupling, sizes, slots, nsl, dtype):
+    """gamma-subspace deflation: B r = M r + R^T (R A R^T)^{-1} R r with
+    R = [-Pi, I] from the dumped metric factorization (A = AD +
+    gamma R^T Mq R, emi_3d1d block layout [x3; x1]).
+
+    MEASURED NON-ROBUST (docs/PERF_NOTES.md round-2 cont.): the exact
+    range(R^T) correction does NOT flatten the structured path's gamma
+    tail (n=10 sweep 14/11/23/30/32/31 vs 11/9/20/26/29/28 without) —
+    the growth lives in the coarse space, not this subspace.  Kept as a
+    documented experiment (scripts/exp_deflation.py); prefer
+    ``algebraic_below`` (the gamma-robust algebraic metric tail).
+    Cost: one dense (n1, n1) inverse at setup (device LU), two sparse
+    matvecs + one dense matvec per apply; B is an SPD sum (CG-safe)."""
+    from ..sparse import ELL, bmat, HostCSR
+    _, Pi, _ = coupling
+    n3, n1 = sizes
+    R = bmat([[Pi.scale(-1.0), HostCSR.eye(n1)]])        # (n1, n)
+    C = R.matmat(A.matmat(R.T))                          # (n1, n1)
+    rr_, cc_, vv_ = C.to_coo()
+    idt = jnp.float32 if np.dtype(dtype).itemsize <= 4 else jnp.float64
+    Cd = jnp.zeros((n1, n1), dtype=idt).at[
+        jnp.asarray(rr_), jnp.asarray(cc_)].set(jnp.asarray(vv_, idt))
+    Cinv = jnp.linalg.inv(Cd).astype(dtype)
+    # R in slot coordinates (columns permuted by the slot map)
+    ro, co, vo = R.to_coo()
+    Rs = HostCSR.from_coo(ro, np.asarray(slots)[co], vo, (n1, nsl))
+    Rell = ELL.from_host(Rs, dtype=dtype)
+    RTell = ELL.from_host(Rs.T, dtype=dtype)
+    return jax.tree_util.Partial(_deflated_apply,
+                                 (Mop, Rell, RTell, Cinv))
+
+
 def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  params: AMGParameters = None, blocks=None,
                  tol=1e-8, maxiter=500, method="cg", stop_type=2,
@@ -156,6 +194,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             prm = replace(prm, dtype=wanted)
         t0 = time.time()
         gamma_data = None
+        deflate = coupling is not None and fp_solver == "deflate"
         if coupling is not None and fp_solver == "rank1g":
             # coupling = (gamma, Pi, Mq): the dumped metric factorization
             # (io_utils.load_coupling) -> gamma-exact O(m) smoother data
@@ -166,15 +205,19 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                                             idofs=idofs,
                                             order=structured_order
                                             or "morton",
-                                            fp_solver=fp_solver,
+                                            fp_solver="exact" if deflate
+                                            else fp_solver,
                                             gamma_data=gamma_data,
                                             algebraic_below=algebraic_below)
-        t_setup = time.time() - t0
         Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype,
                                               pallas=pallas, idofs=idofs))
         bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
             jnp.asarray(b, dtype=dtype))
         M = as_operator(prec)
+        if deflate:
+            M = _deflated_operator(M, A, coupling, sizes, slots, nsl,
+                                   dtype)
+        t_setup = time.time() - t0
     elif grid is not None and precond not in ("diag",):
         from dataclasses import replace
         from ..amg.grid import setup_grid, grid_system, resolve_pallas

@@ -423,10 +423,18 @@ class Rank1SchurSmoother:
 
 @jax.tree_util.register_pytree_node_class
 class DiagRank1Smoother:
-    """Gamma-EXACT footprint smoother with O(m) storage per block.
+    """Rank-1 footprint smoother with O(m) storage per block.
 
-    The designed fix for Rank1SchurSmoother's two failure modes
-    (CLAUDE.md round-2 backlog): with the metric factorization
+    MEASURED NON-ROBUST above gamma~1e4 (docs/PERF_NOTES.md round-2
+    cont.: n=10 sweep 11/10/31 then divergence at 1e6+) — the l1 bound
+    on OVERLAPPING seeds' gamma in D is too loose once footprints
+    overlap heavily, so the block model loses spectral equivalence.
+    Kept as an experimental option (fp_solver="rank1g"); use the
+    algebraic metric tail (solve_system ``algebraic_below``) for
+    gamma-robust 3D-1D solves.
+
+    The design (fix attempt for Rank1SchurSmoother's two failure modes,
+    CLAUDE.md round-2 backlog): with the metric factorization
     A = AD + gamma R^T Mq R kept through assembly (io_utils.load_coupling)
     the block solve for seed curve-dof s models
 

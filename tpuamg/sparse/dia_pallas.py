@@ -53,19 +53,51 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _plan(offsets, n):
+_VMEM_SOFT = 12 * 2 ** 20   # leave headroom under Mosaic's 16M scope
+
+
+def _plan(offsets, n, item=4):
     """(padr, rb, nrows): row padding, block rows, padded total rows.
 
     padr is a multiple of 8 (one full f32 vreg of sublanes) so that a
     diagonal whose row shift q is itself 8-aligned slices the VMEM block
     at a vreg boundary — free addressing instead of sublane shuffles
-    (the "aligned" shift variant below)."""
+    (the "aligned" shift variant below).
+
+    rb shrinks with the diagonal count so the double-buffered
+    (nd, rb, 128) plane block fits VMEM — wide-band operators (3D-1D
+    footprint systems reach ~200 offsets) blew the 16M scope at
+    rb=128."""
     maxabs = max((abs(int(o)) for o in offsets), default=0)
     padr = _round_up(maxabs // LANES + 1, 8)
     r0 = _round_up(max(n, 1), LANES) // LANES
     rb = _MAX_RB if r0 >= _MAX_RB else _round_up(r0, 32)
+    nd = max(len(offsets), 1)
+    xbytes = (r0 + 2 * padr) * LANES * 4
+    while rb > 32 and xbytes + 2 * nd * rb * LANES * item > _VMEM_SOFT:
+        rb //= 2
     nrows = _round_up(r0, rb)
     return padr, rb, nrows
+
+
+def pdia_fits_vmem(offsets, n, item=4):
+    """Whether the planned SpMV kernel fits the VMEM soft budget."""
+    padr, rb, nrows = _plan(offsets, n, item)
+    xbytes = (nrows + 2 * padr) * LANES * 4
+    need = xbytes + 2 * len(offsets) * rb * LANES * item \
+        + 2 * rb * LANES * 4
+    return need <= _VMEM_SOFT
+
+
+def maybe_pdia(D, interpret=False):
+    """PDIA when the kernel fits VMEM at the planned block size, else
+    the DIA unchanged (XLA roll-based matvec) — extreme band counts
+    (irregular 3D-1D footprints after the COO spill cap) cannot stream
+    their plane blocks through VMEM at any block size."""
+    item = jnp.dtype(D.data.dtype).itemsize
+    if not pdia_fits_vmem(D.offsets, D.shape[0], item):
+        return D
+    return PDIA.from_dia(D, interpret=interpret)
 
 
 # Shift decomposition variant (read once at import/trace time):
