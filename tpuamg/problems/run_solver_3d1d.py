@@ -31,14 +31,17 @@ def main(argv=None):
                         help="Directory with matrices (.npy)")
     parser.add_argument("-outdir", type=str, default="./results/emi_3d1d/",
                         help="Directory to output solution")
-    parser.add_argument("-algebraic_below", type=int, default=60000,
+    parser.add_argument("-algebraic_below", type=int, default=0,
                         help="structured-path real-dof threshold below "
                         "which coarse levels switch to the algebraic "
                         "metric-AMG tail (gamma-robust: HEM aggregation "
                         "follows the gamma-heavy edges, which geometric "
                         "window coarsening cannot — n=10 sweep "
                         "11/10/20/22/23/22 iters over gamma 1..1e10 vs "
-                        "11/9/20/26/29/28 purely structured)")
+                        "11/9/20/26/29/28 purely structured).  Default "
+                        "0 (pure structured): the device algebraic tail "
+                        "currently crashes the axon TPU worker "
+                        "(docs/PERF_NOTES.md, round-3 debug item)")
     args, _ = parser.parse_known_args(argv)
 
     print_red("Path to solver input file: " + args.infile)
@@ -76,6 +79,12 @@ def main(argv=None):
                        dtype=jnp.float32 if f32_dev else jnp.float64,
                        refine=3 if f32_dev else 0,
                        inner_tol=max(solver_cfg.tolerance, 2e-5),
+                       # XLA ops (not Pallas) on the structured offline
+                       # path: the Pallas kernel composition under the
+                       # footprint smoother faults the real TPU worker
+                       # (interpret-mode parity is green; hardware debug
+                       # is a round-3 item — docs/PERF_NOTES.md)
+                       pallas=False,
                        structured_coords=coords if use_structured
                        else None,
                        algebraic_below=args.algebraic_below,
