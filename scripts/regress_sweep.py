@@ -210,8 +210,21 @@ def _run_3d1d_cell(cell, mesh_n, timeout, log):
 ANSI = re.compile(r"\x1b\[[0-9;]*m")
 
 
+def _data_rows(path):
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return sum(1 for ln in f if ln.strip())
+
+
 def collect():
-    """Copy/condense result tables into docs/sample_results/."""
+    """Copy/condense result tables into docs/sample_results/.
+
+    A fresh results/ table never REPLACES a docs table that has more
+    data rows: interrupted/timeout cells leave partial tables in
+    results/, and blindly copying them over complete committed tables
+    silently drops the large-n rows (it happened in round 2 — see
+    ADVICE.md round-2 findings 1 and 2)."""
     for sweep in ("bidomain_2d", "bidomain_3d", "emi_2d", "emi_3d",
                   "bidomain_2d_firedrake"):
         src = os.path.join(ROOT, "results", sweep)
@@ -221,11 +234,28 @@ def collect():
         os.makedirs(dst, exist_ok=True)
         for f in sorted(os.listdir(src)):
             if f.startswith(("iters_", "error_")) and f.endswith(".txt"):
-                shutil.copy(os.path.join(src, f), os.path.join(dst, f))
-    # emi_3d1d summary table from the .out files
+                sp, dp = os.path.join(src, f), os.path.join(dst, f)
+                if _data_rows(sp) >= _data_rows(dp):
+                    shutil.copy(sp, dp)
+                else:
+                    print(f"collect: keeping {dp} "
+                          f"({_data_rows(dp)} rows > fresh "
+                          f"{_data_rows(sp)})", flush=True)
+    # emi_3d1d summary table: seed from the existing docs copy (the
+    # durable done-marker cell_done consults), overwrite per-cell rows
+    # only where a fresh .out result exists — results/ is cleaned
+    # between sessions, so a partial rerun must not drop skipped cells.
+    doc = os.path.join(DOCS, "emi_3d1d_sweep.txt")
+    rows = {}
+    if os.path.exists(doc):
+        for ln in open(doc):
+            cols = ln.split()
+            if len(cols) == 6 and not ln.startswith("#") \
+                    and cols[0] != "radius":
+                rows[(cols[0], cols[1])] = tuple(cols)
     outd = os.path.join(ROOT, "results", "emi_3d1d_sweep")
+    fresh = 0
     if os.path.isdir(outd):
-        rows = []
         for r in RADII:
             for g in GAMMAS:
                 p = os.path.join(outd, f"r{r}_g{g}.out")
@@ -235,15 +265,19 @@ def collect():
                 m = re.search(r"niters=(\d+) converged=(\w+) "
                               r"setup=([\d.]+)s solve=([\d.]+)s", txt)
                 if m:
-                    rows.append((r, g) + m.groups())
-        if rows:
-            os.makedirs(DOCS, exist_ok=True)
-            with open(os.path.join(DOCS, "emi_3d1d_sweep.txt"), "w") as f:
-                f.write("# offline xd-1d solver (input_metric.dat, tol "
-                        "1e-6): radius x gamma grid\n")
-                f.write("radius gamma niters converged setup_s solve_s\n")
-                for row in rows:
-                    f.write(" ".join(str(v) for v in row) + "\n")
+                    rows[(r, g)] = (r, g) + m.groups()
+                    fresh += 1
+    if rows and (fresh or not os.path.exists(doc)):
+        os.makedirs(DOCS, exist_ok=True)
+        with open(doc, "w") as f:
+            f.write("# offline xd-1d solver (input_metric.dat, tol "
+                    "1e-6): radius x gamma grid\n")
+            f.write("radius gamma niters converged setup_s solve_s\n")
+            for r in RADII:
+                for g in GAMMAS:
+                    if (r, g) in rows:
+                        f.write(" ".join(str(v)
+                                         for v in rows[(r, g)]) + "\n")
 
 
 def main():

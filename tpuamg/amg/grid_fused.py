@@ -171,8 +171,8 @@ def _planes_to_device(data, rows, rows_p, rb, period, sdtype,
     dv = np.asarray(data[:, :cut]).astype(npdt)   # storage-rounded
     nrep = cut // period
     if nrep < 2:
-        return jnp.asarray(_pack_planes(data, total, rows_p, rb),
-                           dtype=sdtype)
+        return jnp.asarray(_pack_planes(data, data.shape[1], rows_p,
+                                        rb), dtype=sdtype)
     dvr = dv.reshape(nd, nrep, period)
     # lower median along the repeat axis == the interior value whenever
     # >50% of grid rows agree (true away from boundaries/BC rows)
@@ -180,8 +180,8 @@ def _planes_to_device(data, rows, rows_p, rb, period, sdtype,
     exc = dvr != modes[:, None, :]
     nexc = int(exc.sum())
     if nexc > max_exc_frac * nd * cut:
-        return jnp.asarray(_pack_planes(data, total, rows_p, rb),
-                           dtype=sdtype)
+        return jnp.asarray(_pack_planes(data, data.shape[1], rows_p,
+                                        rb), dtype=sdtype)
     idx = np.flatnonzero(exc.reshape(nd, cut))          # in (nd, cut)
     # map to (nd, total) flat coords
     d_i, p_i = idx // cut, idx % cut
@@ -196,7 +196,19 @@ def _planes_to_device(data, rows, rows_p, rb, period, sdtype,
 def _coarse_inv_device(rr, cc, vv, kslots_c, ncan, nc, rows_c, sdtype):
     """Dense coarse inverse on the device (f32 LU on the MXU), embedded
     into the kernel-flat coarse layout and pre-transposed per coarse row
-    block — the (rows_c, nc, 128) T tensor of the fused kernels."""
+    block — the (rows_c, nc, 128) T tensor of the fused kernels.
+
+    Precision note (ADVICE round-2): cond(A_c) reaches ~gamma (1e10 in
+    the sweeps), so f32 LU error is large in the gamma-dominant
+    subspace — but a PRECONDITIONER needs spectral equivalence, not an
+    accurate inverse, and T is stored in sdtype (often bf16) anyway.
+    Measured: tests/test_grid_fused.py::test_fused_pcg_gamma_1e10
+    converges in reference-path iteration counts through this f32
+    inverse.  Symmetric diagonal equilibration was tried and is WORSE
+    here: the ill-conditioning is the near-null coupling space (pair
+    blocks ~ gamma*[[1,-1],[-1,1]] + K), not row scaling, and
+    equilibrating rounds the off-diagonal -1+eps to exactly -1 in f32
+    (singular Ahat) — the same test then fails at 60 iters."""
     Ad = jnp.zeros((ncan, ncan), dtype=jnp.float32).at[rr, cc].set(vv)
     inv_can = jnp.linalg.inv(Ad)
     inv_k = jnp.eye(nc, dtype=jnp.float32)

@@ -75,7 +75,9 @@ def _plan(offsets, n, item=4):
     nd = max(len(offsets), 1)
     xbytes = (r0 + 2 * padr) * LANES * 4
     while rb > 32 and xbytes + 2 * nd * rb * LANES * item > _VMEM_SOFT:
-        rb //= 2
+        # shrink along 32-aligned sizes (24/48 sublane blocks are not
+        # tile-aligned for bf16 planes)
+        rb = _round_up(rb // 2, 32)
     nrows = _round_up(r0, rb)
     return padr, rb, nrows
 
@@ -295,7 +297,8 @@ class PDIA:
     @classmethod
     def from_dia(cls, A: DIA, interpret=False) -> "PDIA":
         n = A.shape[0]
-        padr, rb, nrows = _plan(A.offsets, n)
+        padr, rb, nrows = _plan(A.offsets, n,
+                                item=jnp.dtype(A.data.dtype).itemsize)
         nd = len(A.offsets)
         data2d = jnp.pad(A.data, ((0, 0), (0, nrows * LANES - n))
                          ).reshape(nd, nrows, LANES)
@@ -542,7 +545,7 @@ def _pack_blocks(data, n, nrows, rb):
 
 def fused_cheb_vmem_bytes(n, ndA, ndC, offsets, itemA=4, itemC=4):
     """Estimated VMEM need of the fused smoother at size n."""
-    padr, rb, nrows = _plan(offsets, n)
+    padr, rb, nrows = _plan(offsets, n, item=max(itemA, itemC))
     f32 = 4
     vec = (nrows + 2 * padr) * LANES * f32
     return (3 * vec                        # x, out, t
@@ -596,7 +599,10 @@ class FusedChebSmoother:
               interpret=False):
         n = A_dia.shape[0]
         all_offs = tuple(A_dia.offsets) + tuple(C_dia.offsets)
-        padr, rb, nrows = _plan(all_offs, n)
+        padr, rb, nrows = _plan(
+            all_offs, n,
+            item=max(jnp.dtype(A_dia.data.dtype).itemsize,
+                     jnp.dtype(C_dia.data.dtype).itemsize))
         dataA4 = _pack_blocks(A_dia.data, n, nrows, rb)
         dataC4 = _pack_blocks(C_dia.data, n, nrows, rb)
         return cls(dataA4, A_dia.offsets, dataC4, C_dia.offsets, n,
