@@ -24,13 +24,13 @@ def test_gmg_fullmg_cheb(gamma):
     GMG is the reference's DEGRADING comparison baseline (the paper's
     point is that metric AMG beats it at large gamma), so at gamma=1e8
     we assert convergence + clean MMS rates, not robust counts."""
-    ksp, err = _run(["-nrefs", "2", "-gamma", gamma, "-mg_type", "mg",
+    ksp, err = _run(["-nrefs", "3", "-gamma", gamma, "-mg_type", "mg",
                      "-smoother", "cheb"])
     niters = ksp[:, 1]
-    cap = 60 if gamma == "1" else 500
-    assert np.all(niters <= cap), niters
-    # h-robustness: no blow-up under refinement
-    assert niters[-1] <= 1.6 * max(niters[0], 8), niters
+    assert np.all(niters <= 30), niters
+    # h-robustness (AMLI-accelerated window hierarchy; VERDICT round-2
+    # item 4): iteration growth over refinements stays below 1.35x
+    assert niters[-1] <= 1.35 * max(niters[0], 8), niters
     # MMS rate ~ 1 (P1) on the finest refinement; the strip-consistent
     # MMS keeps this clean at every gamma
     rate = err[-1][3]

@@ -94,7 +94,7 @@ class MGPreconditioner:
 
     def _n_recursive(self, lvl):
         """Recursive visits of level lvl in a pure W/AMLI cycle."""
-        mu = 2 if self.cycle == "w" else (
+        mu = 2 if self.cycle in ("w", "fmg_w") else (
             self.amli_degree if self.cycle in ("amli", "nl_amli") else 1)
         return mu ** lvl
 
@@ -114,7 +114,8 @@ class MGPreconditioner:
         rc = L.restrict(r)
         ec = jnp.zeros(L.nc, dtype=b.dtype)
         # number of coarse-grid visits at the NEXT level
-        if self.cycle == "w" and self._n_recursive(lvl + 1) <= self.max_w_work:
+        if self.cycle in ("w", "fmg_w") and \
+                self._n_recursive(lvl + 1) <= self.max_w_work:
             ec = self._cycle(lvl + 1, rc, ec)
             ec = self._cycle(lvl + 1, rc, ec)
         elif self.cycle in ("amli", "nl_amli") and \
@@ -173,8 +174,11 @@ class MGPreconditioner:
     def matvec(self, b):
         if self.cycle == "add":
             return self._additive(b).astype(b.dtype)
-        if self.cycle == "fmg":
-            # FMG once, then (maxit-1) plain V-cycles refine from it
+        if self.cycle in ("fmg", "fmg_w"):
+            # FMG once, then (maxit-1) cycles refine from it ("fmg" =
+            # V inner cycles; "fmg_w" = W inner cycles — piecewise-
+            # constant window-UA transfers are not h-robust under V,
+            # W restores level-independent convergence)
             x = self._fmg(b)
             for _ in range(self.maxit - 1):
                 x = self._cycle(0, b, x)

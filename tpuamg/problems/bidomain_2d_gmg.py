@@ -118,12 +118,20 @@ def main(argv=None):
                                               cycle_type="fmg"),
                                tol=1e-10, maxiter=500)
         elif args.mg_type == "mg":
-            # geometric grid hierarchy, full-MG (F-cycle) application
+            # geometric grid hierarchy with AMLI(3) acceleration.  The
+            # reference's h-robustness comes from P1 transfers + PatchPC
+            # (bidomain_2d_firedrake.py:106-125); our window transfers
+            # are piecewise-constant (UA), which V/F cycles cannot make
+            # h-robust (measured 9->33 iters over 5 refinements) —
+            # AMLI(3) polynomial acceleration restores level-independent
+            # convergence (measured 11->14 iters, cond plateaus at 2.1;
+            # scripts/exp_gmg.py), the same cure HAZmath applies to UA
+            # hierarchies (amli_degree, amg_parameters.py:8)
             rep = solve_system(A, b, "metric_mono", sizes, tol=1e-10,
                                maxiter=500, grid=((n + 1, n + 1), 2),
                                params=replace(
                                    PRESETS["metric_mono_default"],
-                                   cycle_type="fmg"))
+                                   cycle_type="amli", max_w_work=1024))
         else:
             idofs = np.arange(sizes[0], sum(sizes))
             rep = solve_system(A, b, "hazmath", sizes, idofs=idofs,
