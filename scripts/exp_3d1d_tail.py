@@ -68,6 +68,49 @@ def main():
     base = dict(cycle_type="v", dtype="float64", schwarz_levels=2)
     if "ua_v" in which:
         run("alg ua v", n, params=AMGParameters(**base))
+    if any(w.startswith("dat_") for w in which):
+        # the input_metric.dat config (HEM aggregation, V cycle,
+        # Schwarz_levels=1 maxlvl=2 mmsize=500, strong_coupled=0) with
+        # the complement smoother swapped GS <-> masked Chebyshev
+        from tpuamg.io_utils import dat_to_amg_parameters
+        datp, _cfg = dat_to_amg_parameters(
+            "tpuamg/problems/input_metric.dat")
+        from dataclasses import replace as _rep
+        if "dat_gs" in which:
+            run("dat gs (reference cfg)", n, params=datp)
+        if "dat_cheb" in which:
+            run("dat cheb", n,
+                params=_rep(datp, smoother="chebyshev"))
+        for mc in (4, 6, 8):
+            if f"dat_gs{mc}" in which:
+                run(f"dat gs maxcolors={mc}", n,
+                    params=_rep(datp, gs_max_colors=mc))
+    if "cheb" in which:
+        # TPU-motivated: multicolor GS costs ~2 gather+scatter ops per
+        # COLOR per sweep (~5 ms each on the axon runtime — the tail
+        # watchdog crash, docs/PERF_NOTES.md round 3); Chebyshev is
+        # gather-only (1 SpMV per residual).  Does gamma-flatness
+        # survive the swap on the metric path?
+        run("alg ua w cheb", n, params=AMGParameters(
+            **{**base, "cycle_type": "w", "smoother": "chebyshev"}))
+    if "l1j" in which:
+        run("alg ua w l1jac", n, params=AMGParameters(
+            **{**base, "cycle_type": "w", "smoother": "l1_jacobi"}))
+    if "sgs_w" in which:
+        run("alg ua w sgs", n, params=AMGParameters(
+            **{**base, "cycle_type": "w"}))
+    if "hyb_cheb" in which:
+        A, b, sizes, coords = system(1.0, n)
+        run("struct+alg<60000 cheb", n, params=AMGParameters(
+            **{**base, "cycle_type": "w", "smoother": "chebyshev"}),
+            structured_coords=coords, pallas=False,
+            algebraic_below=60000)
+    if "hyb_sgs" in which:
+        A, b, sizes, coords = system(1.0, n)
+        run("struct+alg<60000 sgs", n, params=AMGParameters(
+            **{**base, "cycle_type": "w"}),
+            structured_coords=coords, pallas=False,
+            algebraic_below=60000)
     if "sa_v" in which:
         run("alg sa v", n, params=AMGParameters(amg_type="sa", **base))
     if "ua_amli" in which:

@@ -157,7 +157,8 @@ def main():
         mark(f"pcg ok niters={r.niters} converged={r.converged} "
              f"({time.time()-t0:.1f}s)")
 
-    if "hybrid" in stages or any(s.startswith("hyb_") for s in stages):
+    if "hybrid" in stages or any(s.startswith(("hyb_", "sc_"))
+                                 for s in stages):
         # replicate the crashing solve_system hybrid setup exactly:
         # tiled slot layout, StructuredOp outer operator, algebraic
         # metric tail built on the ghost-padded slot matrix
@@ -203,6 +204,153 @@ def main():
             y = fetch(jax.jit(lambda M_, b_: M_(b_))(M, hb))
             mark(f"hyb cycle ok |y|={np.linalg.norm(y):.3e} "
                  f"({time.time()-t0:.1f}s)")
+        if "hyb_scan_cycle" in stages:
+            # tail cycle repeated inside a 32-trip scan (the pcg chunk
+            # shape) with NO outer operator
+            t0 = time.time()
+            M = as_operator(hprec)
+
+            def body(M_, b_):
+                def step(s, _):
+                    return M_(s), jnp.linalg.norm(s)
+                out, hist = jax.lax.scan(step, b_, None, length=32)
+                return out
+            y = fetch(jax.jit(body)(M, hb))
+            mark(f"hyb scan-cycle ok |y|={np.linalg.norm(y):.3e} "
+                 f"({time.time()-t0:.1f}s)")
+        def scan_fn(fn, v0, length=32):
+            def body(arg, v_):
+                def step(s, _):
+                    return fn(arg, s), jnp.linalg.norm(s)
+                out, _h = jax.lax.scan(step, v_, None, length=length)
+                return out
+            return body
+
+        if "sc_sm0" in stages or "sc_sm0_gs" in stages or \
+                "sc_sm0_schwarz" in stages:
+            L0 = hprec.levels[0]
+            v0 = jnp.asarray(rng.standard_normal(L0.A.shape[0]),
+                             dtype=dtype)
+            from tpuamg.smoothers.schwarz import MetricSmoother
+            sm = L0.smoother
+            if "sc_sm0_gs" in stages and isinstance(sm, MetricSmoother) \
+                    and sm.gs is not None:
+                t0 = time.time()
+                y = fetch(jax.jit(scan_fn(
+                    lambda a, s: a[0].smooth(a[1], s, a[2], 1),
+                    v0))((sm.gs, L0.A, v0), v0))
+                mark(f"scan-gs(4184) ok ({time.time()-t0:.1f}s)")
+            if "sc_sm0_schwarz" in stages and isinstance(sm,
+                                                         MetricSmoother):
+                t0 = time.time()
+                y = fetch(jax.jit(scan_fn(
+                    lambda a, s: a[0].smooth(a[1], s, a[2], 1),
+                    v0))((sm.schwarz, L0.A, v0), v0))
+                mark(f"scan-schwarz(4184) ok ({time.time()-t0:.1f}s)")
+            if "sc_sm0" in stages:
+                t0 = time.time()
+                y = fetch(jax.jit(scan_fn(
+                    lambda a, s: a[0].smooth(a[1], s, a[2], 1),
+                    v0))((sm, L0.A, v0), v0))
+                mark(f"scan-metricsm(4184) ok ({time.time()-t0:.1f}s)")
+        if "sc_transfer" in stages:
+            t0 = time.time()
+
+            def tr(a, s):
+                prec_ = a
+                r = s
+                for L in prec_.levels:
+                    r = L.restrict(r)
+                e = prec_.coarse_inv @ r
+                for L in reversed(prec_.levels):
+                    e = L.prolong(e)
+                # normalize per trip: the raw chain amplifies to inf
+                # over 32 trips (no smoothing) — not a device fault
+                return e / (jnp.linalg.norm(e) + 1e-30)
+            y = fetch(jax.jit(scan_fn(tr, hb))(hprec, hb))
+            mark(f"scan-transfer ok ({time.time()-t0:.1f}s)")
+        if "sc_cycle4" in stages:
+            t0 = time.time()
+            M = as_operator(hprec)
+            y = fetch(jax.jit(scan_fn(lambda m, s: m(s), hb, length=4))(
+                M, hb))
+            mark(f"scan-cycle len4 ok |y|={np.linalg.norm(y):.3e} "
+                 f"({time.time()-t0:.1f}s)")
+        if "sc_time1" in stages:
+            # warm per-cycle execution time (value-fetch bracketed —
+            # CLAUDE.md hazard 2) to test the watchdog theory: does one
+            # tail cycle run SLOW enough that 32 scan trips exceed the
+            # worker's execution limit?
+            M = as_operator(hprec)
+            f = jax.jit(lambda m, s: m(s))
+            y = fetch(f(M, hb))          # compile + first run
+            for k in range(3):
+                t0 = time.time()
+                y = fetch(f(M, jnp.asarray(y)))
+                mark(f"single cycle warm run {k}: "
+                     f"{time.time()-t0:.3f}s")
+        for ln in (8, 12, 16, 24):
+            if f"sc_cycle{ln}n" in stages:
+                t0 = time.time()
+                M = as_operator(hprec)
+
+                def cyc_n(m, s):
+                    y_ = m(s)
+                    return y_ / (jnp.linalg.norm(y_) + 1e-30)
+                y = fetch(jax.jit(scan_fn(cyc_n, hb, length=ln))(M, hb))
+                mark(f"scan-cycle len{ln} normalized ok "
+                     f"({time.time()-t0:.1f}s)")
+        if "sc_cycle32n" in stages:
+            # normalized: distinguishes a structural fault from an
+            # overflow-to-inf artifact of the unnormalized power method
+            t0 = time.time()
+            M = as_operator(hprec)
+
+            def cyc_n(m, s):
+                y_ = m(s)
+                return y_ / (jnp.linalg.norm(y_) + 1e-30)
+            y = fetch(jax.jit(scan_fn(cyc_n, hb))(M, hb))
+            mark(f"scan-cycle len32 normalized ok "
+                 f"({time.time()-t0:.1f}s)")
+        if "sc_nosch" in stages:
+            t0 = time.time()
+            prm2 = replace(prm, schwarz_levels=0)
+            hp2, _sl2, _n2 = setup_structured(
+                A, coords, prm2, dtype=dtype, pallas=False,
+                idofs=np.asarray(idofs), order="auto",
+                algebraic_below=60000)
+            M2 = as_operator(hp2)
+            y = fetch(jax.jit(scan_fn(lambda m, s: m(s), hb))(M2, hb))
+            mark(f"scan-cycle no-schwarz ok ({time.time()-t0:.1f}s)")
+        if "hyb_pcg_jac" in stages:
+            # chunked pcg: StructuredOp outer + Jacobi preconditioner
+            from tpuamg.krylov import pcg
+            t0 = time.time()
+            invd = 1.0 / Hop.diagonal()
+            Mj = jax.tree_util.Partial(lambda d, r: d * r, invd)
+            r = pcg(dia_matvec_op(Hop), hb, M=Mj, tol=1e-12, maxiter=40)
+            fetch(r.x)
+            mark(f"hyb pcg-jacobi ok niters={r.niters} "
+                 f"({time.time()-t0:.1f}s)")
+        if "hyb_pcg_ell" in stages:
+            # chunked pcg: ELL outer operator + tail preconditioner
+            from tpuamg.krylov import pcg
+            from tpuamg.sparse import matvec_op, ELL, HostCSR
+            t0 = time.time()
+            r_, c_, v_ = A.to_coo()
+            sl = np.asarray(hslots)
+            mk = np.zeros(hnsl)
+            mk[sl] = 1.0
+            gh = np.flatnonzero(mk == 0)
+            A_sl = HostCSR.from_coo(
+                np.concatenate([sl[r_], gh]), np.concatenate([sl[c_], gh]),
+                np.concatenate([v_, np.ones(len(gh))]), (hnsl, hnsl))
+            Aell = matvec_op(ELL.from_host(A_sl, dtype=dtype))
+            M = as_operator(hprec)
+            r = pcg(Aell, hb, M=M, tol=1e-5, maxiter=40)
+            fetch(r.x)
+            mark(f"hyb pcg-ell ok niters={r.niters} "
+                 f"converged={r.converged} ({time.time()-t0:.1f}s)")
         if "hybrid" in stages or "hyb_pcg" in stages:
             from tpuamg.krylov import pcg
             t0 = time.time()

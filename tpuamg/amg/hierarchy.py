@@ -68,7 +68,8 @@ class MGPreconditioner:
     """Multilevel cycle as a linear operator (pytree; jit-traceable)."""
 
     def __init__(self, levels, coarse_inv, cycle="v", maxit=1,
-                 presmooth=1, postsmooth=1, amli_degree=3, max_w_work=256):
+                 presmooth=1, postsmooth=1, amli_degree=3, max_w_work=256,
+                 coarse_scaling=False):
         self.levels = tuple(levels)
         self.coarse_inv = coarse_inv
         self.cycle = cycle
@@ -77,11 +78,20 @@ class MGPreconditioner:
         self.postsmooth = postsmooth
         self.amli_degree = amli_degree
         self.max_w_work = max_w_work
+        # HAZmath AMG_coarse_scaling (parameters_standard: ON): energy-
+        # minimizing scaling of each coarse correction,
+        # alpha = <rc,ec>/<ec,Ac ec> capped at 2 — the classic cure for
+        # piecewise-constant (UA) coarse spaces over-stiffening the
+        # Galerkin operators (measured: restores bidomain_2d 'hazmath'
+        # h-robustness, scripts/exp_std_amg.py).  Makes the
+        # preconditioner mildly nonlinear (same as HAZmath applying it
+        # under plain PCG).
+        self.coarse_scaling = coarse_scaling
 
     def tree_flatten(self):
         return ((self.levels, self.coarse_inv),
                 (self.cycle, self.maxit, self.presmooth, self.postsmooth,
-                 self.amli_degree, self.max_w_work))
+                 self.amli_degree, self.max_w_work, self.coarse_scaling))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -123,6 +133,14 @@ class MGPreconditioner:
             ec = self._amli_inner(lvl + 1, rc, ec)
         else:   # v (or degraded deep levels)
             ec = self._cycle(lvl + 1, rc, ec)
+        if self.coarse_scaling and lvl + 1 < len(self.levels):
+            Ac = self.levels[lvl + 1].A
+            denom = jnp.vdot(ec, Ac.matvec(ec)).real
+            num = jnp.vdot(rc, ec).real
+            alpha = jnp.where(denom > 0,
+                              jnp.clip(num / (denom + 1e-300), 0.0, 2.0),
+                              1.0)
+            ec = alpha * ec
         x = x + L.prolong(ec)
         x = L.smoother.smooth(L.A, x, b, self.postsmooth, reverse=True)
         return x
@@ -220,11 +238,21 @@ def _build_level_smoother(A: HostCSR, params: AMGParameters, level,
             symmetric=(params.schwarz_type == "symmetric"),
             dtype=dtype)
         if idofs is not None and len(idofs) < A.shape[0]:
-            # GS on the complement (utils.py:84 semantics)
+            # complement smoother (utils.py:84 semantics: GS elsewhere).
+            # smoother="chebyshev" swaps in masked Chebyshev — exactly
+            # Chebyshev on the complement block (build_chebyshev
+            # docstring), gather-only: the TPU tail runs ~20x fewer
+            # gather/scatter ops per cycle (round-3 watchdog fix)
             mask = np.ones(A.shape[0], dtype=bool)
             mask[idofs] = False
-            gs = build_multicolor_gs(A, omega=1.0, symmetric=False,
-                                     active=mask, dtype=dtype)
+            if params.smoother == "chebyshev":
+                gs = build_chebyshev(A, degree=3, active=mask,
+                                     dtype=dtype)
+            else:
+                gs = build_multicolor_gs(
+                    A, omega=1.0, symmetric=False, active=mask,
+                    max_colors=getattr(params, "gs_max_colors", 24),
+                    dtype=dtype)
         else:
             gs = None
         return MetricSmoother(schwarz, gs)
@@ -235,17 +263,21 @@ def _build_level_smoother(A: HostCSR, params: AMGParameters, level,
         return build_l1_jacobi(A, dtype=dtype)
     if sm == "chebyshev":
         return build_chebyshev(A, degree=3, dtype=dtype)
+    mc = getattr(params, "gs_max_colors", 24)
     if sm == "gs":
         return build_multicolor_gs(A, omega=1.0, symmetric=False,
-                                   dtype=dtype)
+                                   max_colors=mc, dtype=dtype)
     if sm == "sor":      # HAZmath SOR = GS with relaxation weight
         return build_multicolor_gs(A, omega=params.relaxation,
-                                   symmetric=False, dtype=dtype)
+                                   symmetric=False, max_colors=mc,
+                                   dtype=dtype)
     if sm == "ssor":
         return build_multicolor_gs(A, omega=params.relaxation,
-                                   symmetric=True, dtype=dtype)
+                                   symmetric=True, max_colors=mc,
+                                   dtype=dtype)
     # default sgs
-    return build_multicolor_gs(A, omega=1.0, symmetric=True, dtype=dtype)
+    return build_multicolor_gs(A, omega=1.0, symmetric=True,
+                               max_colors=mc, dtype=dtype)
 
 
 def _batch_isolated_rows(A: HostCSR, agg, nagg, max_aggregation):
@@ -349,4 +381,5 @@ def setup_amg(A_host: HostCSR, params: AMGParameters = AMGParameters(),
         levels, jnp.asarray(coarse_inv, dtype=dtype),
         cycle=params.cycle_type, maxit=params.maxit,
         presmooth=params.presmooth_iter, postsmooth=params.postsmooth_iter,
-        amli_degree=params.amli_degree, max_w_work=params.max_w_work)
+        amli_degree=params.amli_degree, max_w_work=params.max_w_work,
+        coarse_scaling=params.coarse_scaling)

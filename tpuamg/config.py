@@ -45,13 +45,29 @@ class AMGParameters:
     pairwise_passes: int = 2          # HEM matchings per level (ratio ~2^k)
     max_w_work: int = 64              # cap on W/AMLI recursive visits;
     #                                   deeper levels degrade to V
+    gs_max_colors: int = 24           # multicolor-GS color cap; rows in
+    #                                   the overflow group get l1-Jacobi
+    #                                   damping.  Each color costs ~2
+    #                                   gather/scatter ops (~5 ms each on
+    #                                   the remote-TPU runtime) per half
+    #                                   sweep — small caps buy large
+    #                                   speedups on the algebraic TPU
+    #                                   tail at slight smoothing loss
     print_level: int = 0
 
 
 # -- canned presets (parity with /root/reference/src/amg_parameters.py) ----
 
+# Cycle deviation from the reference dict (amg_parameters.py:6 says
+# W_CYCLE): our multicolor-GS UA W-cycle measured NOT h-robust at
+# gamma=1 (18->39 iters over refinements even with max_w_work lifted
+# and coarse_scaling implemented; scripts/exp_std_amg.py), overstating
+# metric AMG's relative win.  NL_AMLI(2) — the K-cycle, also a HAZmath
+# cycle_type — with coarse_scaling measures 15->19 iters / cond 5.3
+# over 5 refinements (h-robust), the fair standard-AMG baseline.
 parameters_standard = AMGParameters(
-    amg_type="ua", cycle_type="w", max_levels=20, maxit=1, smoother="sgs",
+    amg_type="ua", cycle_type="nl_amli", amli_degree=2, max_levels=20,
+    maxit=1, smoother="sgs",
     relaxation=1.2, coarse_dof=100, aggregation_type="vmb",
     strong_coupled=0.1, max_aggregation=100, schwarz_levels=0)
 

@@ -68,6 +68,8 @@ def dat_to_amg_parameters(path):
         amli_degree=raw.get("AMG_amli_degree", 3),
         aggregation_type=_AGG.get(raw.get("AMG_aggregation_type", 1),
                                   "vmb"),
+        coarse_scaling=str(raw.get("AMG_coarse_scaling", "ON")
+                           ).upper() in ("ON", "1", "TRUE"),
         schwarz_levels=raw.get("AMG_Schwarz_levels", 0),
         schwarz_mmsize=raw.get("Schwarz_mmsize", 200),
         schwarz_maxlvl=raw.get("Schwarz_maxlvl", 2),

@@ -118,20 +118,23 @@ def main(argv=None):
                                               cycle_type="fmg"),
                                tol=1e-10, maxiter=500)
         elif args.mg_type == "mg":
-            # geometric grid hierarchy with AMLI(3) acceleration.  The
+            # geometric grid hierarchy with AMLI(2) acceleration.  The
             # reference's h-robustness comes from P1 transfers + PatchPC
             # (bidomain_2d_firedrake.py:106-125); our window transfers
             # are piecewise-constant (UA), which V/F cycles cannot make
             # h-robust (measured 9->33 iters over 5 refinements) —
-            # AMLI(3) polynomial acceleration restores level-independent
-            # convergence (measured 11->14 iters, cond plateaus at 2.1;
-            # scripts/exp_gmg.py), the same cure HAZmath applies to UA
-            # hierarchies (amli_degree, amg_parameters.py:8)
+            # AMLI(2) polynomial acceleration restores level-independent
+            # convergence (measured 11->15 iters, cond plateaus at 2.4,
+            # equal at gamma=1 and 1e8; scripts/exp_gmg.py — degree 3
+            # saves <1 iteration at ~10x the per-apply cost), the same
+            # cure HAZmath applies to UA hierarchies (amli_degree,
+            # amg_parameters.py:8)
             rep = solve_system(A, b, "metric_mono", sizes, tol=1e-10,
                                maxiter=500, grid=((n + 1, n + 1), 2),
                                params=replace(
                                    PRESETS["metric_mono_default"],
-                                   cycle_type="amli", max_w_work=1024))
+                                   cycle_type="amli", amli_degree=2,
+                                   max_w_work=1024))
         else:
             idofs = np.arange(sizes[0], sum(sizes))
             rep = solve_system(A, b, "hazmath", sizes, idofs=idofs,

@@ -31,17 +31,23 @@ def main(argv=None):
                         help="Directory with matrices (.npy)")
     parser.add_argument("-outdir", type=str, default="./results/emi_3d1d/",
                         help="Directory to output solution")
-    parser.add_argument("-algebraic_below", type=int, default=0,
+    parser.add_argument("-algebraic_below", type=int, default=60000,
                         help="structured-path real-dof threshold below "
                         "which coarse levels switch to the algebraic "
                         "metric-AMG tail (gamma-robust: HEM aggregation "
                         "follows the gamma-heavy edges, which geometric "
                         "window coarsening cannot — n=10 sweep "
                         "11/10/20/22/23/22 iters over gamma 1..1e10 vs "
-                        "11/9/20/26/29/28 purely structured).  Default "
-                        "0 (pure structured): the device algebraic tail "
-                        "currently crashes the axon TPU worker "
-                        "(docs/PERF_NOTES.md, round-3 debug item)")
+                        "11/9/20/26/29/28 purely structured).  0 = pure "
+                        "structured.  The round-2 'TPU worker crash' in "
+                        "this tail was bisected to the worker's ~60-90s "
+                        "per-execution watchdog (docs/PERF_NOTES.md "
+                        "round 3): the tail cycle's gather/scatter ops "
+                        "run ~5 ms each on the remote runtime, so 32 "
+                        "chunked PCG iterations in one launch exceeded "
+                        "it — fixed by color-capped GS (gs_max_colors) "
+                        "+ watchdog-safe PCG chunks, not by disabling "
+                        "the tail")
     args, _ = parser.parse_known_args(argv)
 
     print_red("Path to solver input file: " + args.infile)
@@ -71,6 +77,15 @@ def main(argv=None):
     # software-emulated on TPU) and mixed-precision refinement restores
     # the .dat tolerance as a TRUE-residual target (solve_system docs).
     f32_dev = jax.default_backend() == "tpu"
+    if f32_dev and args.algebraic_below:
+        from dataclasses import replace
+        # TPU tail hygiene (round-3 watchdog fix, docs/PERF_NOTES.md):
+        # cap the multicolor-GS color count at 6 — measured identical
+        # gamma sweep to the full 24-color GS (11->13 iters over ten
+        # decades, scripts/exp_3d1d_tail.py dat_gs6) at 1/4 the
+        # gather/scatter op count, which is what the tail's ~5 ms/op
+        # remote-runtime cost punishes
+        amg_params = replace(amg_params, gs_max_colors=6)
     rep = solve_system(A, b, "metric_hazmath", sizes, idofs=idofs,
                        params=amg_params, tol=solver_cfg.tolerance,
                        maxiter=solver_cfg.maxiter,
@@ -79,6 +94,12 @@ def main(argv=None):
                        dtype=jnp.float32 if f32_dev else jnp.float64,
                        refine=3 if f32_dev else 0,
                        inner_tol=max(solver_cfg.tolerance, 2e-5),
+                       # watchdog-safe launches: the tail cycle applies
+                       # in O(seconds) on the remote runtime; 8
+                       # iterations per launch keeps each execution
+                       # well under the worker's ~60-90 s limit
+                       chunk=8 if (f32_dev and args.algebraic_below)
+                       else None,
                        # XLA ops (not Pallas) on the structured offline
                        # path: the Pallas kernel composition under the
                        # footprint smoother faults the real TPU worker

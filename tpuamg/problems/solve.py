@@ -151,7 +151,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  grid=None, structured_coords=None, structured_order=None,
                  algebraic_below=0, fp_solver="exact", coupling=None,
                  pallas=None, refine=0, inner_tol=1e-6,
-                 timing_runs=1) -> SolveReport:
+                 timing_runs=1, chunk=None) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
     problems.  structured_coords: optional (n, d) dof coordinates — use the
@@ -180,7 +180,14 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     correction solves A d = r on device in `dtype` to `inner_tol`
     (relative), and x accumulates in float64.  `tol` is then the final
     *true-residual* target.  refine=0 (default) = single solve, `tol` is
-    the device Krylov's preconditioned-residual target."""
+    the device Krylov's preconditioned-residual target.
+
+    chunk: PCG iterations per device launch (krylov.pcg chunk).  The
+    remote-TPU worker KILLS any single XLA execution running longer
+    than its watchdog (~60-90 s measured, docs/PERF_NOTES.md round 3);
+    preconditioners with second-scale applies (the algebraic metric
+    tail's gather/scatter smoothers) must keep chunk * t_apply under
+    that.  None = the pcg default (32)."""
     slots = None
     fp = None          # whole-chunk fused PCG runner (grid path, cg)
     if structured_coords is not None and grid is None \
@@ -295,7 +302,8 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                           callback=callback, stop_type=stop_type)
         elif method == "cg":
             r = pcg(Aop, bdev, M=M, tol=ktol, maxiter=miter,
-                    callback=callback, stop_type=stop_type)
+                    callback=callback, stop_type=stop_type,
+                    **({"chunk": chunk} if chunk else {}))
         elif method == "minres":
             r = minres(Aop, bdev, M=M, tol=ktol, maxiter=miter)
         else:

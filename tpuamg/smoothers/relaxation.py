@@ -193,14 +193,16 @@ class ChebyshevSmoother:
         return x
 
 
-def estimate_lmax_dinv_a(A_host: HostCSR, iters=20, seed=0):
-    """Power iteration for rho(D^{-1} A) on host."""
+def estimate_lmax_dinv_a(A_host: HostCSR, iters=20, seed=0, invd=None):
+    """Power iteration for rho(D^{-1} A) on host (invd: optional
+    masked/custom inverse diagonal)."""
     rng = np.random.default_rng(seed)
-    d = A_host.diagonal()
-    x = rng.standard_normal(A_host.shape[0])
+    if invd is None:
+        invd = 1.0 / A_host.diagonal()
+    x = rng.standard_normal(A_host.shape[0]) * (invd != 0)
     lam = 1.0
     for _ in range(iters):
-        y = A_host.matvec(x) / d
+        y = A_host.matvec(x) * invd
         lam = np.linalg.norm(y)
         if lam == 0:
             return 1.0
@@ -209,8 +211,25 @@ def estimate_lmax_dinv_a(A_host: HostCSR, iters=20, seed=0):
 
 
 def build_chebyshev(A_host: HostCSR, degree=3, ratio=8.0,
-                    dtype=jnp.float32):
-    lmax = 1.1 * estimate_lmax_dinv_a(A_host)
+                    dtype=jnp.float32, active=None):
+    """active: optional bool mask / index set — updates are restricted
+    to these rows (zero inverse diagonal elsewhere), which makes the
+    sweep EXACTLY Chebyshev on the principal submatrix A[act, act] (the
+    masked rows of x never change, so the masked residual is the
+    submatrix residual).  The gather-light alternative to multicolor GS
+    for the metric smoother's non-interface block: one SpMV per
+    residual instead of ~2 gather+scatter ops per color (each ~5 ms on
+    the remote-TPU runtime — the round-3 tail watchdog fix,
+    docs/PERF_NOTES.md)."""
     d = A_host.diagonal()
-    return ChebyshevSmoother(jnp.asarray(1.0 / d, dtype=dtype),
+    invd = 1.0 / d
+    if active is not None:
+        act = np.asarray(active)
+        if act.dtype != bool:
+            m = np.zeros(A_host.shape[0], dtype=bool)
+            m[act] = True
+            act = m
+        invd = np.where(act, invd, 0.0)
+    lmax = 1.1 * estimate_lmax_dinv_a(A_host, invd=invd)
+    return ChebyshevSmoother(jnp.asarray(invd, dtype=dtype),
                              lmax, lmax / ratio, degree)
