@@ -22,8 +22,8 @@ from tpuamg.amg.grid_fused import (setup_grid_fused, grid_system_fused,
 
 
 def _compare(A, dims, F, gamma_label, coarse_dof=60, cheb_degree=3,
-             rtol=2e-5, seed=3, cheb_kind=1):
-    prm = AMGParameters(cycle_type="v", maxit=1, coarse_dof=coarse_dof,
+             rtol=2e-5, seed=3, cheb_kind=1, cycle="v"):
+    prm = AMGParameters(cycle_type=cycle, maxit=1, coarse_dof=coarse_dof,
                         dtype="float32")
     vc, slots, nflat, ref, slots_can = setup_grid_fused(
         A, dims, F=F, params=prm, cheb_degree=cheb_degree,
@@ -71,6 +71,21 @@ def test_fused_pcg_gamma_1e10():
         jnp.asarray(b, dtype=jnp.float32))
     res = pcg(Aop, bk, M=fused_operator(vc), tol=1e-5, maxiter=60)
     assert res.converged and res.niters <= 25, res.niters
+
+
+@pytest.mark.parametrize("gamma", [1e0, 1e6])
+def test_fused_w_matches_reference_2d(gamma):
+    """Fused W-cycle (round-3: statically unrolled two-visit recursion
+    with warm-started second visits) against the MGPreconditioner
+    W-cycle on the same canonical hierarchy."""
+    p = Params(2.0, 3.0, gamma)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    mesh = get_mesh(16, 2)
+    A, b, sizes, _ = get_system(mesh, data, p)
+    # W does ~2x the f32 arithmetic of V, so the f32-vs-f64 rounding
+    # envelope roughly doubles (measured 3.1e-5 at gamma=1e6; a logic
+    # error shows as O(1))
+    _compare(A, (17, 17), 2, gamma, cycle="w", rtol=8e-5)
 
 
 def test_fused_matches_reference_2d_single_field():

@@ -253,6 +253,10 @@ class _CycleSpec:
     rb: int
     padt: int            # t halo rows (C offsets are intra-node: small)
     nbuf: int = 2        # DMA pipeline depth (in-flight plane blocks)
+    cycle: str = "v"     # "v" | "w" — W statically unrolls two visits
+    #                      per coarse level (capped by max_w_work, the
+    #                      MGPreconditioner semantics)
+    max_w_work: int = 64
 
 
 # ---------------------------------------------------------------------------
@@ -505,11 +509,22 @@ def _cycle_machine(spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
                 xc[R:R + 1, :] = acc
 
     def cycle():
-        # ---- down sweep ---------------------------------------------
-        for lv in range(L):
+        # recursive level visit, statically unrolled.  V: each level
+        # visited once (the classic down/up sweep).  W: two child
+        # visits per level while the recursive visit count 2^lvl stays
+        # under spec.max_w_work (MGPreconditioner._cycle semantics) —
+        # the second visit WARM-starts from the first one's x (skip the
+        # zeroing; bs is untouched by child visits, and every level
+        # gets at least one cold visit per launch, which zeroes the t
+        # halo pads the sweeps rely on).
+        cyc = getattr(spec, "cycle", "v")
+        cap = getattr(spec, "max_w_work", 64)
+
+        def visit(lv, warm):
             S = spec.levels[lv]
-            xs[lv][:] = jnp.zeros_like(xs[lv])
-            ts[lv][:] = jnp.zeros_like(ts[lv])
+            if not warm:
+                xs[lv][:] = jnp.zeros_like(xs[lv])
+                ts[lv][:] = jnp.zeros_like(ts[lv])
             cheb(lv, S.pre)
             residual(lv)
             rc = restrict_value(lv)
@@ -519,12 +534,18 @@ def _cycle_machine(spec, W0, W1, W0T, W1T, A_refs, C_refs, M_refs, T_ref,
                 if Sn.rows_p > Sn.rows:
                     bs[lv + 1][Sn.rows:Sn.rows_p, :] = jnp.zeros(
                         (Sn.rows_p - Sn.rows, LANES), jnp.float32)
+                visit(lv + 1, False)
+                if cyc == "w" and 2 ** (lv + 1) <= cap:
+                    visit(lv + 1, True)
             else:
+                # exact coarse solve: a second W visit would recompute
+                # the identical correction (MGPreconditioner gets the
+                # same numbers by discarding the first) — solve once
                 coarse_solve(rc)
-        # ---- up sweep -----------------------------------------------
-        for lv in reversed(range(L)):
             prolong_add(lv)
-            cheb(lv, spec.levels[lv].post)
+            cheb(lv, S.post)
+
+        visit(0, False)
 
     return cycle, sweep, dma
 
@@ -1283,8 +1304,8 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
     sched = dims_schedule(dims, F, params.max_levels, params.coarse_dof)
     if len(sched) < 2:
         raise ValueError("problem too small to fuse (no levels)")
-    if params.cycle_type != "v" or params.maxit != 1:
-        raise ValueError("fused cycle supports V-cycle, maxit=1")
+    if params.cycle_type not in ("v", "w") or params.maxit != 1:
+        raise ValueError("fused cycle supports V/W cycles, maxit=1")
 
     # ---- embed the fine operator into padded canonical order ----------
     dims0 = sched[0]
@@ -1382,7 +1403,9 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
     rows_c = int(np.prod(dims_c[:-1])) * Kc
     nc = rows_c * LANES
     spec = _CycleSpec(levels=tuple(levels_spec), Kc=Kc, rows_c=rows_c,
-                      nc=nc, rb=rb, padt=4, nbuf=int(nbuf))
+                      nc=nc, rb=rb, padt=4, nbuf=int(nbuf),
+                      cycle=params.cycle_type,
+                      max_w_work=params.max_w_work)
     itemA = jnp.dtype(sdtype).itemsize
     if not interpret and fused_vmem_bytes(spec, itemA, itemA) \
             > VMEM_BUDGET:
@@ -1409,7 +1432,8 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
                        offsC=S.offsC, theta=S.theta, coefs=S.coefs,
                        degree=S.degree, pre=S.pre, post=S.post)
             for S in levels_spec),
-        Kc=Kc, rows_c=rows_c, nc=nc, rb=rb, padt=4, nbuf=int(nbuf))
+        Kc=Kc, rows_c=rows_c, nc=nc, rb=rb, padt=4, nbuf=int(nbuf),
+        cycle=params.cycle_type, max_w_work=params.max_w_work)
 
     # coarse dense inverse, embedded into the kernel-flat coarse layout
     kslots_c = _kernel_slots(dims_c, F, Kc)
@@ -1446,8 +1470,10 @@ def setup_grid_fused(A_host: HostCSR, dims, F=1, mask=None,
         ref = MGPreconditioner(
             tuple(ref_levels),
             jnp.asarray(inv_can, dtype=jnp.float64),
-            cycle="v", maxit=1, presmooth=params.presmooth_iter,
-            postsmooth=params.postsmooth_iter)
+            cycle=params.cycle_type, maxit=1,
+            presmooth=params.presmooth_iter,
+            postsmooth=params.postsmooth_iter,
+            max_w_work=params.max_w_work)
         return vc, kernel_slots0, vc.nflat, ref, slots_can
     return vc, kernel_slots0, vc.nflat
 

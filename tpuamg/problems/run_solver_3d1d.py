@@ -61,6 +61,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
+    import tpuamg
+    tpuamg.enable_compilation_cache()   # multilevel compiles take
+    #                                     minutes; reruns hit the cache
 
     amg_params, solver_cfg = dat_to_amg_parameters(args.infile)
     A, b, idofs, idofs3d, coords = load_system(args.indir,

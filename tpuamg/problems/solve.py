@@ -237,7 +237,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         # fused whole-V-cycle kernel (one launch per preconditioner
         # apply; amg/grid_fused.py): auto on TPU for f32 V-cycles, or
         # forced with pallas="fused" / tested with "fused_interpret"
-        fused_ok = (prm.cycle_type == "v" and prm.maxit == 1
+        fused_ok = (prm.cycle_type in ("v", "w") and prm.maxit == 1
                     and np.dtype(dtype) == np.float32
                     and pallas in (None, "fused", "fused_interpret"))
         if fused_ok and pallas is None:
