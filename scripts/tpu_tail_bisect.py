@@ -157,8 +157,8 @@ def main():
         mark(f"pcg ok niters={r.niters} converged={r.converged} "
              f"({time.time()-t0:.1f}s)")
 
-    if "hybrid" in stages or any(s.startswith(("hyb_", "sc_"))
-                                 for s in stages):
+    if "hybrid" in stages or "sync_test" in stages or \
+            any(s.startswith(("hyb_", "sc_")) for s in stages):
         # replicate the crashing solve_system hybrid setup exactly:
         # tiled slot layout, StructuredOp outer operator, algebraic
         # metric tail built on the ghost-padded slot matrix
@@ -351,6 +351,120 @@ def main():
             fetch(r.x)
             mark(f"hyb pcg-ell ok niters={r.niters} "
                  f"converged={r.converged} ({time.time()-t0:.1f}s)")
+        if "sync_test" in stages:
+            # hypothesis: solve_system hangs because _pcg_init is
+            # dispatched IMMEDIATELY behind ~40 async hierarchy
+            # transfers (no sync point); every passing bisect stage
+            # fetched between setup and compute.  Variant A syncs after
+            # setup; variant B does not (reproduces the solve flow).
+            import faulthandler
+            faulthandler.dump_traceback_later(120, repeat=True)
+            from tpuamg.krylov import pcg
+            for tag, sync in (("synced", True), ("nosync", False)):
+                t0 = time.time()
+                hpg, sg, ng = setup_structured(
+                    A, coords, replace(prm, gs_max_colors=6),
+                    dtype=dtype, pallas=False, idofs=np.asarray(idofs),
+                    order="auto", algebraic_below=60000)
+                Hg = structured_system(A, sg, ng, dtype=dtype,
+                                       pallas=False,
+                                       idofs=np.asarray(idofs))
+                bg = jnp.zeros(ng, dtype=dtype).at[
+                    jnp.asarray(sg)].set(jnp.asarray(b, dtype=dtype))
+                if sync:
+                    fetch(hpg.levels[0].A.vals[0, :1]
+                          if hasattr(hpg.levels[0].A, "vals")
+                          else hpg.coarse_inv[:1, :1])
+                    fetch(bg[:1])
+                mark(f"{tag} setup done ({time.time()-t0:.1f}s)")
+                t0 = time.time()
+                r = pcg(dia_matvec_op(Hg), bg, M=as_operator(hpg),
+                        tol=1e-12, maxiter=3, chunk=1)
+                fetch(r.x)
+                mark(f"{tag} pcg ok niters={r.niters} "
+                     f"({time.time()-t0:.1f}s)")
+            faulthandler.cancel_dump_traceback_later()
+        if "idle_test" in stages:
+            # every hang happened after a multi-minute COLD compile
+            # (worker idle while the host lowers/compiles); the passing
+            # reruns were cache-warm.  Emulate: run one op, idle 600 s,
+            # then execute — does the claim survive the idle?
+            from tpuamg.krylov import pcg
+            fetch(jnp.ones(8) + 1)
+            mark("idle test: pre-op ok, sleeping 600 s")
+            time.sleep(600)
+            t0 = time.time()
+            try:
+                r = pcg(dia_matvec_op(Hop), hb, M=as_operator(hprec),
+                        tol=1e-12, maxiter=2, chunk=1)
+                fetch(r.x)
+                mark(f"post-idle pcg ok ({time.time()-t0:.1f}s)")
+            except Exception as e:
+                mark(f"post-idle pcg FAILED {type(e).__name__}: "
+                     f"{str(e)[:150]}")
+        if "sc_g6" in stages:
+            # g6 trigger bisect: the gs_max_colors=6 hierarchy hangs
+            # the worker inside _pcg_init.  Test its pieces standalone.
+            import faulthandler
+            faulthandler.dump_traceback_later(120, repeat=True)
+            from tpuamg.smoothers.schwarz import MetricSmoother
+            for mc in (6, 8, 12):
+                t0 = time.time()
+                hpg, _sg, _ng = setup_structured(
+                    A, coords, replace(prm, gs_max_colors=mc),
+                    dtype=dtype, pallas=False, idofs=np.asarray(idofs),
+                    order="auto", algebraic_below=60000)
+                mark(f"g{mc} setup ({time.time()-t0:.1f}s)")
+                L0 = hpg.levels[0]
+                v0 = jnp.asarray(
+                    rng.standard_normal(L0.A.shape[0]), dtype=dtype)
+                sm = L0.smoother
+                if isinstance(sm, MetricSmoother) and sm.gs is not None:
+                    t0 = time.time()
+                    y = fetch(jax.jit(smooth_fn)(sm.gs, L0.A, v0, v0))
+                    mark(f"g{mc} gs-only ok ({time.time()-t0:.1f}s)")
+                t0 = time.time()
+                y = fetch(jax.jit(smooth_fn)(sm, L0.A, v0, v0))
+                mark(f"g{mc} metricsm ok ({time.time()-t0:.1f}s)")
+                t0 = time.time()
+                y = fetch(jax.jit(lambda m, s: m(s))(
+                    as_operator(hpg), hb))
+                mark(f"g{mc} cycle ok ({time.time()-t0:.1f}s)")
+            faulthandler.cancel_dump_traceback_later()
+        if "hyb_pcg1g6" in stages:
+            # same as hyb_pcg1 but the hierarchy built with
+            # gs_max_colors=6 (the ONLY program difference between the
+            # working hyb_pcg1 stage and the hanging full solve)
+            import faulthandler
+            faulthandler.dump_traceback_later(120, repeat=True)
+            from tpuamg.krylov import pcg
+            t0 = time.time()
+            hp6, _s6, _n6 = setup_structured(
+                A, coords, replace(prm, gs_max_colors=6), dtype=dtype,
+                pallas=False, idofs=np.asarray(idofs), order="auto",
+                algebraic_below=60000)
+            mark(f"g6 setup done ({time.time()-t0:.1f}s)")
+            t0 = time.time()
+            r = pcg(dia_matvec_op(Hop), hb, M=as_operator(hp6),
+                    tol=1e-12, maxiter=3, chunk=1)
+            fetch(r.x)
+            mark(f"hyb pcg chunk1 g6 ok niters={r.niters} "
+                 f"({time.time()-t0:.1f}s)")
+            faulthandler.cancel_dump_traceback_later()
+        if "hyb_pcg1" in stages:
+            # chunk=1, 3 iterations, stack dumps: does ONE scan trip
+            # execute at all?
+            import faulthandler
+            faulthandler.dump_traceback_later(120, repeat=True)
+            from tpuamg.krylov import pcg
+            t0 = time.time()
+            M = as_operator(hprec)
+            r = pcg(dia_matvec_op(Hop), hb, M=M, tol=1e-12, maxiter=3,
+                    chunk=1)
+            fetch(r.x)
+            mark(f"hyb pcg chunk1 ok niters={r.niters} "
+                 f"({time.time()-t0:.1f}s)")
+            faulthandler.cancel_dump_traceback_later()
         if "hybrid" in stages or "hyb_pcg" in stages:
             from tpuamg.krylov import pcg
             t0 = time.time()
@@ -361,12 +475,21 @@ def main():
                  f"converged={r.converged} ({time.time()-t0:.1f}s)")
 
     if "solve" in stages:
+        # periodic all-thread stack dumps: the full solve has hung at
+        # ~46 s CPU (futex wait) on three separate runs — find where
+        import faulthandler
+        faulthandler.dump_traceback_later(240, repeat=True)
         t0 = time.time()
+        from dataclasses import replace as _rep
         rep = solve_system(A, b, "metric_hazmath", sizes,
-                           idofs=idofs, params=amg_params, tol=1e-6,
+                           idofs=idofs,
+                           params=_rep(amg_params, gs_max_colors=6),
+                           tol=1e-6,
                            maxiter=solver_cfg.maxiter,
                            dtype=dtype, refine=3, inner_tol=2e-5,
                            pallas=False,
+                           chunk=int(os.environ.get(
+                               "TPUAMG_BISECT_CHUNK", "1")),
                            structured_coords=coords,
                            algebraic_below=60000,
                            structured_order="auto")

@@ -97,11 +97,16 @@ def main(argv=None):
                        dtype=jnp.float32 if f32_dev else jnp.float64,
                        refine=3 if f32_dev else 0,
                        inner_tol=max(solver_cfg.tolerance, 2e-5),
-                       # watchdog-safe launches: the tail cycle applies
-                       # in O(seconds) on the remote runtime; 8
-                       # iterations per launch keeps each execution
-                       # well under the worker's ~60-90 s limit
-                       chunk=8 if (f32_dev and args.algebraic_below)
+                       # watchdog-safe launches: a tail PCG iteration
+                       # executes in seconds on the remote runtime
+                       # (~5 ms per gather/scatter op regardless of
+                       # size), so ONE iteration per launch keeps every
+                       # execution far below the worker's ~60-90 s
+                       # limit; the per-launch round trip (~0.1 s) is
+                       # noise against that.  Measured: chunk=32 is
+                       # watchdog-killed, chunk=1 completes
+                       # (scripts/tpu_tail_bisect.py hyb_pcg1)
+                       chunk=1 if (f32_dev and args.algebraic_below)
                        else None,
                        # XLA ops (not Pallas) on the structured offline
                        # path: the Pallas kernel composition under the
