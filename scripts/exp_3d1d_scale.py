@@ -51,15 +51,30 @@ def solve(mesh_n, gammas):
         r = os.path.join(ROOT, "results", "scale_3d1d",
                          f"res_n{mesh_n}_g{g}")
         t0 = time.time()
-        res = subprocess.run(
-            [sys.executable, "-m", "tpuamg.problems.run_solver_3d1d",
-             "-infile", "tpuamg/problems/input_metric.dat",
-             "-indir", d, "-outdir", r],
-            cwd=ROOT, capture_output=True, text=True)
-        txt = ANSI.sub("", res.stdout + res.stderr)
-        print(txt[-2000:], flush=True)
-        m = re.search(r"niters=(\d+) converged=(\w+) "
-                      r"setup=([\d.]+)s solve=([\d.]+)s", txt)
+        m = None
+        # first-run compiles go over the tunnel (remote compile) and
+        # flakily hang — run under a timeout and retry; once programs
+        # land in the persistent cache a retry is fast and reliable
+        # (docs/PERF_NOTES.md round 3)
+        for attempt in range(3):
+            try:
+                res = subprocess.run(
+                    [sys.executable, "-m",
+                     "tpuamg.problems.run_solver_3d1d",
+                     "-infile", "tpuamg/problems/input_metric.dat",
+                     "-indir", d, "-outdir", r],
+                    cwd=ROOT, capture_output=True, text=True,
+                    timeout=3600)
+            except subprocess.TimeoutExpired as e:
+                print(f"g={g} attempt {attempt}: timed out (remote "
+                      "compile flake?) — retrying", flush=True)
+                continue
+            txt = ANSI.sub("", res.stdout + res.stderr)
+            print(txt[-2000:], flush=True)
+            m = re.search(r"niters=(\d+) converged=(\w+) "
+                          r"setup=([\d.]+)s solve=([\d.]+)s", txt)
+            if m:
+                break
         if m:
             rows.append((g,) + m.groups() + (f"{time.time()-t0:.0f}",))
     if rows:

@@ -157,8 +157,9 @@ def main():
         mark(f"pcg ok niters={r.niters} converged={r.converged} "
              f"({time.time()-t0:.1f}s)")
 
-    if "hybrid" in stages or "sync_test" in stages or \
-            any(s.startswith(("hyb_", "sc_")) for s in stages):
+    _BASIC = {"sanity", "ell", "gs", "schwarz", "metric", "restrict",
+              "coarse", "cycle", "pcg", "solve"}
+    if any(s not in _BASIC for s in stages):
         # replicate the crashing solve_system hybrid setup exactly:
         # tiled slot layout, StructuredOp outer operator, algebraic
         # metric tail built on the ghost-padded slot matrix
