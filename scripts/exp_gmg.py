@@ -73,6 +73,10 @@ def main():
     if "amli" in which:
         run("amli deg3", nrefs, gamma,
             params=replace(base, cycle_type="amli", max_w_work=1024))
+    if "amli2" in which:
+        run("amli deg2", nrefs, gamma,
+            params=replace(base, cycle_type="amli", amli_degree=2,
+                           max_w_work=1024))
     if "nl_amli" in which:
         run("nl_amli deg3", nrefs, gamma,
             params=replace(base, cycle_type="nl_amli", max_w_work=1024))

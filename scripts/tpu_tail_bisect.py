@@ -475,6 +475,51 @@ def main():
             mark(f"hyb pcg ok niters={r.niters} "
                  f"converged={r.converged} ({time.time()-t0:.1f}s)")
 
+    if "launch_probe" in stages:
+        # how many back-to-back launches of the tail chunk program
+        # before the worker wedges?  Drives _pcg_scan_chunk manually
+        # with a value fetch after every launch, marking each.
+        import faulthandler
+        faulthandler.dump_traceback_later(180, repeat=True)
+        from tpuamg.krylov.cg import _pcg_scan_chunk, _pcg_init
+        Afn = dia_matvec_op(Hop)
+        M = as_operator(hprec)
+        x, r, z, p, rz, rn0 = _pcg_init(Afn, M, hb,
+                                        jnp.zeros_like(hb))
+        mark(f"probe init ok rnorm={float(rn0):.3e}")
+        t_all = time.time()
+        for k in range(60):
+            t0 = time.time()
+            (x, r, z, p, rz), outs = _pcg_scan_chunk(
+                Afn, M, x, r, z, p, rz, 1)
+            o = np.asarray(outs)
+            mark(f"launch {k} ok res={o[0,2]:.3e} "
+                 f"({time.time()-t0:.1f}s, total "
+                 f"{time.time()-t_all:.0f}s)")
+        faulthandler.cancel_dump_traceback_later()
+    if "solve_knobs" in stages:
+        # knob isolation: solve_system with the tail, adding one real
+        # knob at a time — finds which of refine/stop_type/maxiter
+        # separates the hanging full solve from the passing direct pcg
+        import faulthandler
+        faulthandler.dump_traceback_later(180, repeat=True)
+        from dataclasses import replace as _rep
+        base = dict(idofs=idofs, tol=1e-5, maxiter=3, dtype=dtype,
+                    pallas=False, chunk=1, structured_coords=coords,
+                    algebraic_below=60000, structured_order="auto",
+                    params=_rep(amg_params, gs_max_colors=6))
+        for tag, kw in (
+                ("minimal", {}),
+                ("stop1", dict(stop_type=1)),
+                ("maxit1000", dict(maxiter=1000, tol=1e-6)),
+                ("refine3", dict(refine=3, inner_tol=2e-5, tol=1e-6)),
+        ):
+            t0 = time.time()
+            rep = solve_system(A, b, "metric_hazmath", sizes,
+                               **{**base, **kw})
+            mark(f"solve_knobs {tag} ok niters={rep.niters} "
+                 f"({time.time()-t0:.1f}s)")
+        faulthandler.cancel_dump_traceback_later()
     if "solve" in stages:
         # periodic all-thread stack dumps: the full solve has hung at
         # ~46 s CPU (futex wait) on three separate runs — find where

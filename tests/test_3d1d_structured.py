@@ -205,3 +205,40 @@ def test_3d1d_hybrid_gamma_tail_flat():
         iters[gamma] = rep.niters
     assert iters[1e10] <= 30, iters
     assert iters[1e10] <= 2.5 * iters[1e0], iters
+
+
+def test_mixed_precision_split_outer_true_residual():
+    """f32-STORED entrywise operators are catastrophically wrong at
+    large gamma: for iterates near the gamma-null space (R x ~ 0 —
+    where CG converges) the rounded +-gamma entries leave ~40% RELATIVE
+    matvec error, and the inner PCG converges cleanly to the WRONG
+    system (preconditioned residual 1e-8, true residual 0.4 — round-3
+    find, docs/PERF_NOTES.md).  The factored outer operator
+    (solve._split_metric_operator: AD + gamma R^T Mq R with f64-stored
+    R) + f64 Krylov vectors restores true convergence with f32 bulk
+    storage.  Guard the TRUE residual."""
+    import jax.numpy as jnp
+    from tpuamg.problems.emi_3d1d import get_system as _gs
+    from tpuamg.fem import unit_cube_mesh
+    mesh3d = unit_cube_mesh(6)
+    curve = synthetic_neuron_curve(n_main=16, n_branches=2)
+    A, b, sizes, (Pi, Mq) = _gs(mesh3d, curve, k3=3.0,
+                                k1=7.0 * np.pi * 0.04,
+                                gamma=1e8 * 2 * np.pi * 0.2,
+                                coupling_radius=0.2,
+                                return_coupling=True)
+    coords = np.concatenate([mesh3d.vertices, curve.vertices])
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    prm = AMGParameters(cycle_type="v", dtype="float32",
+                        schwarz_levels=2)
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm,
+                       tol=1e-6, maxiter=100, idofs=idofs,
+                       dtype=jnp.float32, krylov_dtype=jnp.float64,
+                       refine=3, inner_tol=2e-5,
+                       coupling=(1e8 * 2 * np.pi * 0.2, Pi, Mq),
+                       structured_coords=coords, pallas=False,
+                       algebraic_below=700)
+    assert rep.converged, (rep.niters, rep.r_norm)
+    # r_norm is the TRUE f64 relative residual from the refine loop
+    assert rep.r_norm < 1e-6, rep.r_norm

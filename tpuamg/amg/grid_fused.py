@@ -1249,9 +1249,15 @@ class FusedVCycle:
         smoother pass + one per residual), so fused/unfused nnz/s
         numbers stay comparable."""
         total = 0
-        for S, nnz in zip(self.spec.levels, self.level_nnz):
-            total += nnz * (S.pre + S.post + 1)
-        return total + self.coarse_n * self.coarse_n
+        visits = 1
+        w = getattr(self.spec, "cycle", "v") == "w"
+        cap = getattr(self.spec, "max_w_work", 64)
+        for lv, (S, nnz) in enumerate(zip(self.spec.levels,
+                                          self.level_nnz)):
+            if w and lv and 2 ** lv <= cap:
+                visits *= 2
+            total += visits * nnz * (S.pre + S.post + 1)
+        return total + visits * self.coarse_n * self.coarse_n
 
     @property
     def nflat(self):

@@ -112,6 +112,14 @@ class MGPreconditioner:
         if lvl == len(self.levels):
             return self._coarse_solve(b)
         L = self.levels[lvl]
+        # adopt the level's operator dtype: mixed-precision hierarchies
+        # (f32 window levels + f64 algebraic tail — structured.py tail
+        # note) must iterate each level in ITS precision, or the .at[]
+        # updates round every correction back to the fine dtype
+        ldt = getattr(L.A, "dtype", None)
+        if ldt is not None and b.dtype != ldt:
+            b = b.astype(ldt)
+            x = x.astype(ldt)
         if hasattr(L.smoother, "smooth_residual"):
             # pre-smooth + residual fused into one kernel launch
             x, r = L.smoother.smooth_residual(L.A, x, b, self.presmooth)
@@ -133,6 +141,7 @@ class MGPreconditioner:
             ec = self._amli_inner(lvl + 1, rc, ec)
         else:   # v (or degraded deep levels)
             ec = self._cycle(lvl + 1, rc, ec)
+        ec = ec.astype(b.dtype)
         if self.coarse_scaling and lvl + 1 < len(self.levels):
             Ac = self.levels[lvl + 1].A
             denom = jnp.vdot(ec, Ac.matvec(ec)).real

@@ -868,9 +868,22 @@ def setup_structured(A_host: HostCSR, coords,
         # structured level's nc stitch above already matches.  Ghost
         # slots are isolated identity rows — batched into inert
         # aggregates by setup_amg._batch_isolated_rows.
+        #
+        # The tail always runs in f64 regardless of the fine-level
+        # dtype: the metric tail is f32-FRAGILE (measured: the n=8
+        # gamma=1e8 hybrid converges in 7 iterations in f64 but stalls
+        # unconverged at 40 in f32 — gamma-cancellation noise in the
+        # ELL residuals the multiplicative smoothers consume), while
+        # the window levels are f32-robust.  The tail is small and
+        # op-overhead-bound on the remote TPU (~5 ms per gather/
+        # scatter regardless of width), so f64 costs ~nothing there;
+        # jnp promotes the f32 restricted residual on entry and the
+        # cycle driver casts back to the Krylov dtype on exit.
+        from dataclasses import replace as _replace
         from .hierarchy import setup_amg
         tail_idofs = fp_seeds if fp_blocks is not None else None
-        tail = setup_amg(A, params, idofs=tail_idofs)
+        tail = setup_amg(A, _replace(params, dtype="float64"),
+                         idofs=tail_idofs)
         prec = MGPreconditioner(
             tuple(levels) + tuple(tail.levels), tail.coarse_inv,
             cycle=params.cycle_type, maxit=params.maxit,

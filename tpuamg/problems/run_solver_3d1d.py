@@ -66,8 +66,14 @@ def main(argv=None):
     #                                     minutes; reruns hit the cache
 
     amg_params, solver_cfg = dat_to_amg_parameters(args.infile)
+    from ..io_utils import load_coupling
     A, b, idofs, idofs3d, coords = load_system(args.indir,
                                                with_coords=True)
+    # optional metric factorization dump (Pi/Mq/gamma — our extension):
+    # lets the structured path apply the outer operator in FACTORED
+    # form, which f32 storage needs at large gamma
+    # (solve._split_metric_operator)
+    coupling = load_coupling(args.indir)
     sizes = (len(idofs3d), len(b) - len(idofs3d))
     # coords.npy present (our extension of the reference dump layout) AND
     # running on TPU -> the structured gather-free path (DIA + footprint
@@ -95,6 +101,13 @@ def main(argv=None):
                        method=solver_cfg.method,
                        stop_type=solver_cfg.stop_type,
                        dtype=jnp.float32 if f32_dev else jnp.float64,
+                       # f64 Krylov vectors over f32-stored operators:
+                       # f32 CG arithmetic stalls ~1e-2 on the metric
+                       # systems (solve_system krylov_dtype docs) while
+                       # the f32 storage keeps the tunnel transfers
+                       # halved; refinement absorbs the storage
+                       # perturbation
+                       krylov_dtype=jnp.float64 if f32_dev else None,
                        refine=3 if f32_dev else 0,
                        inner_tol=max(solver_cfg.tolerance, 2e-5),
                        # watchdog-safe launches: a tail PCG iteration
@@ -116,6 +129,7 @@ def main(argv=None):
                        pallas=False,
                        structured_coords=coords if use_structured
                        else None,
+                       coupling=coupling if use_structured else None,
                        algebraic_below=args.algebraic_below,
                        # tiled-lattice slot order when the bulk is a
                        # clean grid (O(stencil) DIA offsets at ANY size

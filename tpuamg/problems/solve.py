@@ -106,6 +106,58 @@ def make_preconditioner(precond: str, A: HostCSR, sizes, idofs=None,
     return as_operator(prec)
 
 
+def _split_metric_matvec(data, x):
+    AD, Rell, Mqell, RTell, g = data
+    u = Rell.matvec(x)
+    return AD.matvec(x) + g * RTell.matvec(Mqell.matvec(u))
+
+
+def _split_metric_operator(A, coupling, sizes, slots, nsl, dtype,
+                           pallas):
+    """Outer operator in FACTORED metric form:
+    A x = AD x + gamma * R^T Mq (R x),  R = [-Pi, I].
+
+    Entrywise storage of A at large gamma is catastrophically
+    cancelling: the metric rows' matvec result is ~1e5x smaller than
+    the individual gamma-scaled products, so f32-stored entries give
+    O(40%) RELATIVE result error at gamma=1e8 (measured; the inner PCG
+    then converges cleanly to the WRONG system: preconditioned residual
+    1e-8 while the true residual is O(1)).  In factored form every
+    factor is O(1)-conditioned — the cancellation R x = x1 - Pi x3
+    happens between f64 Krylov-vector entries, exactly — so f32 factor
+    storage is a genuine ~1e-7 perturbation.  AD = A - gamma R^T Mq R
+    (block-diag Laplacians) is gamma-free and narrow: the split also
+    REPLACES the footprint machinery on the outer operator (the wide
+    curve couplings live in R, one skinny gather per apply)."""
+    from ..sparse import bmat, ELL
+    from ..amg.structured import structured_system
+    g, Pi, Mq = coupling
+    n3, n1 = sizes
+    R = bmat([[Pi.scale(-1.0), HostCSR.eye(n1)]])
+    AD = A.add(R.T.matmat(Mq.matmat(R)), beta=-g)
+    # prune the cancelled coupling entries (exact zeros up to f64
+    # roundoff) so they don't widen the DIA offset set
+    r_, c_, v_ = AD.to_coo()
+    keep = np.abs(v_) > 1e-10 * np.abs(v_).max()
+    AD = HostCSR.from_coo(r_[keep], c_[keep], v_[keep], AD.shape)
+    ADop = structured_system(AD, slots, nsl, dtype=dtype, pallas=pallas)
+    ro, co, vo = R.to_coo()
+    Rs = HostCSR.from_coo(ro, np.asarray(slots)[co], vo, (n1, nsl))
+    mel = ELL.from_host(Mq, dtype=dtype)
+    # R and R^T are stored f64 REGARDLESS of `dtype`: for iterates x
+    # near the gamma-null space (R x ~ 0 — exactly where CG converges),
+    # f32-rounded R entries produce a FAKE residual R~x ~ 1e-7|x| that
+    # gamma amplifies to ~10% of A x (measured: TRUE residual stalls at
+    # 0.4 with f32 R, converges to 4e-8 with f64 R; a random-vector
+    # parity check cannot see this).  R is skinny (nnz ~ 50 per curve
+    # dof), so f64 costs nothing.  Mq/AD stay in `dtype`: they only
+    # scale the ALREADY-ACCURATE R x, a true relative perturbation.
+    return jax.tree_util.Partial(
+        _split_metric_matvec,
+        (ADop, ELL.from_host(Rs, dtype=jnp.float64), mel,
+         ELL.from_host(Rs.T, dtype=jnp.float64), g))
+
+
 def _deflated_apply(data, r):
     Mop, Rell, RTell, Cinv = data
     rr = Rell.matvec(r)
@@ -151,7 +203,8 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  grid=None, structured_coords=None, structured_order=None,
                  algebraic_below=0, fp_solver="exact", coupling=None,
                  pallas=None, refine=0, inner_tol=1e-6,
-                 timing_runs=1, chunk=None) -> SolveReport:
+                 timing_runs=1, chunk=None,
+                 krylov_dtype=None) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
     problems.  structured_coords: optional (n, d) dof coordinates — use the
@@ -187,7 +240,17 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     than its watchdog (~60-90 s measured, docs/PERF_NOTES.md round 3);
     preconditioners with second-scale applies (the algebraic metric
     tail's gather/scatter smoothers) must keep chunk * t_apply under
-    that.  None = the pcg default (32)."""
+    that.  None = the pcg default (32).
+
+    krylov_dtype: dtype of the Krylov VECTORS (default = `dtype`).
+    Mixed mode krylov_dtype=f64 + dtype=f32 keeps hierarchy/operator
+    storage (the tunnel-transfer bulk) in f32 while every recurrence
+    runs in f64 via promotion — f32 CG arithmetic on the metric
+    systems stalls at ~1e-2 relative (gamma-cancellation noise in the
+    dots/updates), while an f32-STORED operator is only a ~1e-7
+    relative perturbation of A that iterative refinement absorbs
+    (measured: the n=8 gamma=1e8 tail hybrid converges 7-9 iters in
+    this mode vs stalling unconverged pure-f32)."""
     slots = None
     fp = None          # whole-chunk fused PCG runner (grid path, cg)
     if structured_coords is not None and grid is None \
@@ -216,10 +279,15 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                                             else fp_solver,
                                             gamma_data=gamma_data,
                                             algebraic_below=algebraic_below)
-        Aop = dia_matvec_op(structured_system(A, slots, nsl, dtype=dtype,
-                                              pallas=pallas, idofs=idofs))
-        bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
-            jnp.asarray(b, dtype=dtype))
+        if coupling is not None:
+            Aop = _split_metric_operator(A, coupling, sizes, slots, nsl,
+                                         dtype, pallas)
+        else:
+            Aop = dia_matvec_op(structured_system(
+                A, slots, nsl, dtype=dtype, pallas=pallas, idofs=idofs))
+        kdt = krylov_dtype or dtype
+        bj = jnp.zeros(nsl, dtype=kdt).at[jnp.asarray(slots)].set(
+            jnp.asarray(b, dtype=kdt))
         M = as_operator(prec)
         if deflate:
             M = _deflated_operator(M, A, coupling, sizes, slots, nsl,
@@ -328,11 +396,13 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             hist.append(rel)
             if rel < tol:
                 break
+            kdt_r = krylov_dtype or dtype
             if slots is not None:
-                rdev = jnp.zeros(nsl, dtype=dtype).at[
-                    jnp.asarray(slots)].set(jnp.asarray(r64, dtype=dtype))
+                rdev = jnp.zeros(nsl, dtype=kdt_r).at[
+                    jnp.asarray(slots)].set(
+                        jnp.asarray(r64, dtype=kdt_r))
             else:
-                rdev = jnp.asarray(r64, dtype=dtype)
+                rdev = jnp.asarray(r64, dtype=kdt_r)
             d, res = _run(rdev, inner_tol, maxiter)
             if step == 0 and method == "cg":
                 cond = res.cond
