@@ -28,7 +28,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-DATA = os.path.join("results", "scale_3d1d", "data_n8_g1e8")
+DATA = os.environ.get("TPUAMG_BISECT_DATA",
+                      os.path.join("results", "scale_3d1d",
+                                   "data_n8_g1e8"))
 
 import numpy as np
 import jax
@@ -75,20 +77,24 @@ def main():
 
     from tpuamg.amg.hierarchy import setup_amg, as_operator
     t0 = time.time()
-    prec = setup_amg(A, prm, idofs=np.asarray(idofs))
-    mark(f"setup_amg done levels={len(prec.levels)} "
-         f"({time.time()-t0:.1f}s)")
-    for i, L in enumerate(prec.levels):
-        sm = L.smoother
-        mark(f"  level {i}: n={L.A.shape[0]} L={L.A.row_width} "
-             f"nc={L.nc} smoother={type(sm).__name__}")
-    mark(f"  coarse: {prec.coarse_inv.shape}")
-
+    # TPUAMG_BISECT_SKIP_ALG=1 skips the script-level plain-algebraic
+    # hierarchy (minutes of host setup at production sizes; only the
+    # hybrid stages are wanted there)
+    prec = (None if os.environ.get("TPUAMG_BISECT_SKIP_ALG")
+            else setup_amg(A, prm, idofs=np.asarray(idofs)))
     rng = np.random.default_rng(0)
-    xs = [jnp.asarray(rng.standard_normal(L.A.shape[0]), dtype=dtype)
-          for L in prec.levels]
-    bs = [jnp.asarray(rng.standard_normal(L.A.shape[0]), dtype=dtype)
-          for L in prec.levels]
+    if prec is not None:
+        mark(f"setup_amg done levels={len(prec.levels)} "
+             f"({time.time()-t0:.1f}s)")
+        for i, L in enumerate(prec.levels):
+            sm = L.smoother
+            mark(f"  level {i}: n={L.A.shape[0]} L={L.A.row_width} "
+                 f"nc={L.nc} smoother={type(sm).__name__}")
+        mark(f"  coarse: {prec.coarse_inv.shape}")
+        xs = [jnp.asarray(rng.standard_normal(L.A.shape[0]),
+                          dtype=dtype) for L in prec.levels]
+        bs = [jnp.asarray(rng.standard_normal(L.A.shape[0]),
+                          dtype=dtype) for L in prec.levels]
 
     if "ell" in stages:
         for i, L in enumerate(prec.levels):
