@@ -96,7 +96,8 @@ def main():
     dtype = jnp.float32
     used_fused = False
     fp = None
-    if os.environ.get("TPUAMG_BENCH_FUSED", "1") != "0" and CYCLE == "v" \
+    if os.environ.get("TPUAMG_BENCH_FUSED", "1") != "0" \
+            and CYCLE in ("v", "w") \
             and os.environ.get("TPUAMG_BENCH_CHUNKED", "0") == "1":
         # whole-chunk fused PCG: ITERS complete PCG iterations (outer
         # SpMV + dots + updates + V-cycle) in ONE kernel launch
@@ -113,7 +114,7 @@ def main():
             print(f"# fused PCG unavailable ({e}); per-apply path",
                   file=sys.stderr)
     if not used_fused and os.environ.get("TPUAMG_BENCH_FUSED", "1") \
-            != "0" and CYCLE == "v":
+            != "0" and CYCLE in ("v", "w"):
         # whole-V-cycle fused Pallas kernel: ONE launch per
         # preconditioner apply (amg/grid_fused.py)
         from tpuamg.amg.grid_fused import (setup_grid_fused,
