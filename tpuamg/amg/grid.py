@@ -302,7 +302,13 @@ def setup_grid(A_host: HostCSR, dims, F=1, mask=None,
         tuple(levels), jnp.asarray(coarse_inv, dtype=dtype),
         cycle=params.cycle_type, maxit=params.maxit,
         presmooth=params.presmooth_iter, postsmooth=params.postsmooth_iter,
-        amli_degree=params.amli_degree, max_w_work=params.max_w_work)
+        amli_degree=params.amli_degree, max_w_work=params.max_w_work,
+        # AMG_coarse_scaling is pinned OFF on the whole grid path: the
+        # fused whole-cycle kernel (grid_fused) implements the unscaled
+        # cycle, and this fallback must stay interchangeable with it.
+        # The window coarse spaces carry their own geometric scaling;
+        # scaling is honored on the algebraic + structured paths.
+        coarse_scaling=False)
     return prec, slots, nv * F
 
 

@@ -889,7 +889,8 @@ def setup_structured(A_host: HostCSR, coords,
             cycle=params.cycle_type, maxit=params.maxit,
             presmooth=params.presmooth_iter,
             postsmooth=params.postsmooth_iter,
-            amli_degree=params.amli_degree, max_w_work=params.max_w_work)
+            amli_degree=params.amli_degree, max_w_work=params.max_w_work,
+            coarse_scaling=params.coarse_scaling)
         n_slots0 = levels[0].A.shape[0] if levels else A.shape[0]
         return prec, slots0, n_slots0
     coarse_inv = np.linalg.inv(A.toarray()) if A.shape[0] else \
@@ -898,7 +899,8 @@ def setup_structured(A_host: HostCSR, coords,
         tuple(levels), jnp.asarray(coarse_inv, dtype=dtype),
         cycle=params.cycle_type, maxit=params.maxit,
         presmooth=params.presmooth_iter, postsmooth=params.postsmooth_iter,
-        amli_degree=params.amli_degree, max_w_work=params.max_w_work)
+        amli_degree=params.amli_degree, max_w_work=params.max_w_work,
+        coarse_scaling=params.coarse_scaling)
     n_slots0 = levels[0].A.shape[0] if levels else A.shape[0]
     return prec, slots0, n_slots0
 

@@ -75,6 +75,13 @@ parameters_standard_schwarz = replace(
     parameters_standard, schwarz_levels=1, schwarz_mmsize=100,
     schwarz_maxlvl=1)
 
+# Strict reference-parity variant of 'standard': the exact
+# parameters_standard dict (amg_parameters.py:3-21) with W_CYCLE —
+# kept for parity runs/experiments; the h-robust nl_amli variant above
+# is the benchmark baseline (see the deviation note).
+parameters_standard_reference = replace(
+    parameters_standard, cycle_type="w", amli_degree=3)
+
 parameters_metric = AMGParameters(
     amg_type="ua", cycle_type="w", max_levels=20, maxit=1, smoother="sgs",
     relaxation=1.2, coarse_dof=100, aggregation_type="hem",
@@ -91,6 +98,7 @@ parameters_metric_mono_default = replace(
 
 PRESETS = {
     "standard": parameters_standard,
+    "standard_reference": parameters_standard_reference,
     "standard_schwarz": parameters_standard_schwarz,
     "metric": parameters_metric,
     "metric_schwarz": parameters_metric_schwarz,

@@ -208,7 +208,8 @@ def shard_preconditioner(prec: MGPreconditioner, mesh,
                             maxit=prec.maxit, presmooth=prec.presmooth,
                             postsmooth=prec.postsmooth,
                             amli_degree=prec.amli_degree,
-                            max_w_work=prec.max_w_work)
+                            max_w_work=prec.max_w_work,
+                            coarse_scaling=prec.coarse_scaling)
 
 
 # ---------------------------------------------------------------------------
@@ -301,4 +302,5 @@ def shard_preconditioner_agglomerated(prec: MGPreconditioner, mesh,
                             maxit=prec.maxit, presmooth=prec.presmooth,
                             postsmooth=prec.postsmooth,
                             amli_degree=prec.amli_degree,
-                            max_w_work=prec.max_w_work)
+                            max_w_work=prec.max_w_work,
+                            coarse_scaling=prec.coarse_scaling)

@@ -284,7 +284,7 @@ def _upgrade_pallas_levels(prec, mesh, n_shard_min, interpret):
         tuple(levels), prec.coarse_inv, cycle=prec.cycle,
         maxit=prec.maxit, presmooth=prec.presmooth,
         postsmooth=prec.postsmooth, amli_degree=prec.amli_degree,
-        max_w_work=prec.max_w_work)
+        max_w_work=prec.max_w_work, coarse_scaling=prec.coarse_scaling)
     return prec2, n_upgraded
 
 

@@ -68,7 +68,10 @@ def dat_to_amg_parameters(path):
         amli_degree=raw.get("AMG_amli_degree", 3),
         aggregation_type=_AGG.get(raw.get("AMG_aggregation_type", 1),
                                   "vmb"),
-        coarse_scaling=str(raw.get("AMG_coarse_scaling", "ON")
+        # missing-key default OFF: the reference's input_metric.dat:83
+        # sets OFF explicitly (and its dict presets set ON explicitly),
+        # so an unspecified .dat key conservatively matches the dat file
+        coarse_scaling=str(raw.get("AMG_coarse_scaling", "OFF")
                            ).upper() in ("ON", "1", "TRUE"),
         schwarz_levels=raw.get("AMG_Schwarz_levels", 0),
         schwarz_mmsize=raw.get("Schwarz_mmsize", 200),

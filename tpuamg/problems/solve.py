@@ -282,10 +282,17 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         if coupling is not None:
             Aop = _split_metric_operator(A, coupling, sizes, slots, nsl,
                                          dtype, pallas)
+            # the factored operator keeps R/R^T in f64 (its accuracy
+            # rationale REQUIRES f64 Krylov vectors), so its matvec
+            # promotes to f64 — f32 vectors would flip the scan-carry
+            # dtype mid-trace.  Default the vectors to f64 here.
+            if krylov_dtype is None:
+                krylov_dtype = jnp.float64
         else:
             Aop = dia_matvec_op(structured_system(
                 A, slots, nsl, dtype=dtype, pallas=pallas, idofs=idofs))
         kdt = krylov_dtype or dtype
+        vec_dtype = kdt
         bj = jnp.zeros(nsl, dtype=kdt).at[jnp.asarray(slots)].set(
             jnp.asarray(b, dtype=kdt))
         M = as_operator(prec)
@@ -352,6 +359,13 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             Aop = dia_matvec_op(grid_system(A, slots, dtype=dtype,
                                             pallas=pallas))
             M = as_operator(prec)
+        # krylov_dtype is a structured-path feature (f64 vectors over
+        # f32 factored storage); the grid path's fused-PCG kernels are
+        # planned in `dtype` and must not be fed other-dtype vectors
+        if krylov_dtype is not None and krylov_dtype != dtype:
+            raise ValueError("krylov_dtype != dtype is only supported "
+                             "on the structured path")
+        vec_dtype = dtype
         bj = jnp.zeros(nsl, dtype=dtype).at[jnp.asarray(slots)].set(
             jnp.asarray(b, dtype=dtype))
     else:
@@ -360,7 +374,8 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                                 params=params, blocks=blocks, dtype=dtype)
         t_setup = time.time() - t0
         Aop = matvec_op(ELL.from_host(A, dtype=dtype))
-        bj = jnp.asarray(b, dtype=dtype)
+        vec_dtype = krylov_dtype or dtype
+        bj = jnp.asarray(b, dtype=vec_dtype)
     t0 = time.time()
 
     def _run(bdev, ktol, miter):
@@ -396,7 +411,11 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             hist.append(rel)
             if rel < tol:
                 break
-            kdt_r = krylov_dtype or dtype
+            # same vector dtype the initial solve used — a second dtype
+            # here would re-trace the Krylov program (minutes of XLA
+            # compile) and feed mismatched vectors to dtype-planned
+            # fused kernels
+            kdt_r = vec_dtype
             if slots is not None:
                 rdev = jnp.zeros(nsl, dtype=kdt_r).at[
                     jnp.asarray(slots)].set(
