@@ -25,6 +25,13 @@ ANSI = re.compile(r"\x1b\[[0-9;]*m")
 
 
 def outdir(mesh_n, g):
+    # the n=64 production dumps are COMMITTED at data/prod3d1d_g{g}
+    # (275k bulk + 10k curve dofs — git-tracked so the flagship solve
+    # is reproducible without the 10-minute assembly)
+    committed = os.path.join(ROOT, "data", f"prod3d1d_g{g}")
+    if mesh_n == MESH_N and os.path.exists(
+            os.path.join(committed, "A.npy")):
+        return committed
     return os.path.join(ROOT, "results", "scale_3d1d",
                         f"data_n{mesh_n}_g{g}")
 

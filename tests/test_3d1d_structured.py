@@ -207,6 +207,60 @@ def test_3d1d_hybrid_gamma_tail_flat():
     assert iters[1e10] <= 2.5 * iters[1e0], iters
 
 
+def test_host_tail_split_parity():
+    """Host-side f64 tail (amg.structured.HostTailHybrid driven by
+    krylov.pcg_split) is numerically the SAME operator as the unified
+    device hybrid for cycle='v', maxit=1 — the split exists purely to
+    move the tail's gather/scatter ops off the remote TPU runtime
+    (docs/PERF_NOTES.md round 3: ~5 ms/op -> ~2.5 s/cycle on device)."""
+    gamma = 1e8
+    A, b, sizes, coords = _system(gamma)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    prm = AMGParameters(cycle_type="v", dtype="float64",
+                        schwarz_levels=2)
+    kw = dict(params=prm, tol=1e-8, maxiter=150,
+              structured_coords=coords, idofs=idofs, pallas=False,
+              algebraic_below=700)
+    r0 = solve_system(A, b, "metric_mono", sizes, **kw)
+    r1 = solve_system(A, b, "metric_mono", sizes, host_tail=True, **kw)
+    assert r1.converged, (r1.niters, r1.r_norm)
+    # identical math, separately compiled programs: allow 1 iter of
+    # reassociation jitter
+    assert abs(r1.niters - r0.niters) <= 1, (r1.niters, r0.niters)
+    np.testing.assert_allclose(r1.x, r0.x, rtol=1e-6, atol=1e-9)
+
+
+def test_host_tail_mixed_precision_production_config():
+    """The production run_solver_3d1d configuration (f32 storage + f64
+    Krylov vectors + factored outer operator + refine) with the host
+    tail: true residual to tolerance."""
+    import jax.numpy as jnp
+    from tpuamg.problems.emi_3d1d import get_system as _gs
+    from tpuamg.fem import unit_cube_mesh
+    mesh3d = unit_cube_mesh(6)
+    curve = synthetic_neuron_curve(n_main=16, n_branches=2)
+    g = 1e8 * 2 * np.pi * 0.2
+    A, b, sizes, (Pi, Mq) = _gs(mesh3d, curve, k3=3.0,
+                                k1=7.0 * np.pi * 0.04, gamma=g,
+                                coupling_radius=0.2,
+                                return_coupling=True)
+    coords = np.concatenate([mesh3d.vertices, curve.vertices])
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    prm = AMGParameters(cycle_type="v", dtype="float32",
+                        schwarz_levels=2)
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm,
+                       tol=1e-6, maxiter=100, idofs=idofs,
+                       dtype=jnp.float32, krylov_dtype=jnp.float64,
+                       refine=3, inner_tol=2e-5,
+                       coupling=(g, Pi, Mq),
+                       structured_coords=coords, pallas=False,
+                       algebraic_below=700, host_tail=True)
+    assert rep.converged, (rep.niters, rep.r_norm)
+    assert rep.r_norm < 1e-6, rep.r_norm
+
+
 def test_mixed_precision_split_outer_true_residual():
     """f32-STORED entrywise operators are catastrophically wrong at
     large gamma: for iterates near the gamma-null space (R x ~ 0 —

@@ -198,6 +198,62 @@ class MGPreconditioner:
             ec = z + L.prolong(ec)
         return ec
 
+    # -- split application (host-tail hybrids) ------------------------
+    # A V-cycle (maxit=1, zero initial guess) split at the coarse
+    # boundary into two device programs, so a HOST step can run the
+    # coarse solve between them: the remote-TPU runtime has no host
+    # callbacks (axon_pjrt rejects jax.pure_callback), and the
+    # algebraic metric tail costs ~5 ms per gather/scatter op on
+    # device (~2.5 s per cycle, docs/PERF_NOTES.md round 3) vs
+    # milliseconds as a CPU-jitted f64 program.  For cycle='v',
+    # cycle_up(carry, tail(rc)) == matvec(b) EXACTLY when the tail
+    # preconditioner equals the levels this object would have held
+    # below the boundary (same recursion, zero initial coarse guess).
+    def cycle_down(self, b):
+        """Pre-smooth + restrict through every level.
+
+        Returns (carry, rc): carry = per-level (x, b) tuples for
+        cycle_up, rc = the residual restricted to the coarse boundary
+        (the tail's level-0 size)."""
+        xs, bs = [], []
+        for L in self.levels:
+            ldt = getattr(L.A, "dtype", None)
+            if ldt is not None and b.dtype != ldt:
+                b = b.astype(ldt)
+            x = jnp.zeros_like(b)
+            if hasattr(L.smoother, "smooth_residual"):
+                x, r = L.smoother.smooth_residual(L.A, x, b,
+                                                  self.presmooth)
+            else:
+                x = L.smoother.smooth(L.A, x, b, self.presmooth)
+                r = L.A.residual(x, b)
+            xs.append(x)
+            bs.append(b)
+            b = L.restrict(r)
+        return (tuple(xs), tuple(bs)), b
+
+    def cycle_up(self, carry, ec):
+        """Prolong + post-smooth back up from the coarse correction."""
+        xs, bs = carry
+        for i in reversed(range(len(self.levels))):
+            L = self.levels[i]
+            b, x = bs[i], xs[i]
+            ec = ec.astype(b.dtype)
+            if self.coarse_scaling and i + 1 < len(self.levels):
+                Ac = self.levels[i + 1].A
+                rc = bs[i + 1]
+                denom = jnp.vdot(ec, Ac.matvec(ec)).real
+                num = jnp.vdot(rc, ec).real
+                alpha = jnp.where(denom > 0,
+                                  jnp.clip(num / (denom + 1e-300),
+                                           0.0, 2.0), 1.0)
+                ec = alpha * ec
+            x = x + L.prolong(ec)
+            x = L.smoother.smooth(L.A, x, b, self.postsmooth,
+                                  reverse=True)
+            ec = x
+        return ec
+
     def matvec(self, b):
         if self.cycle == "add":
             return self._additive(b).astype(b.dtype)

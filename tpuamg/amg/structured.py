@@ -345,6 +345,59 @@ class StructuredLevel:
         return ef * self.mask
 
 
+def _tail_matvec(prec, b):
+    return prec.matvec(b)
+
+
+_tail_jit = jax.jit(_tail_matvec)
+
+
+class HostTailHybrid:
+    """Structured window levels on device + the algebraic metric tail as
+    a HOST-side CPU-jitted f64 program (NOT a pytree — drive with
+    krylov.pcg_split, which runs fine.cycle_down / tail_apply /
+    fine.cycle_up per PCG iteration).
+
+    Why: the remote-TPU runtime executes each gather/scatter op in
+    ~5 ms regardless of size, so a device-resident tail cycle costs
+    ~2.5 s (forcing one-iteration launches under the worker's 60-90 s
+    watchdog, docs/PERF_NOTES.md round 3), while the identical cycle is
+    ~1 ms as a CPU program and the boundary vectors are tiny.  axon's
+    PJRT client rejects jax host callbacks, hence the split-launch
+    design instead of a pure_callback inside one program."""
+
+    def __init__(self, fine: MGPreconditioner, tail: MGPreconditioner,
+                 A_boundary: HostCSR, coarse_scaling=False):
+        cpu = jax.devices("cpu")[0]
+        # commit every tail leaf to the CPU device so _tail_jit
+        # dispatches to the CPU backend (uncommitted arrays would
+        # follow the default TPU placement)
+        self.tail = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, cpu) if isinstance(x, jax.Array)
+            else x, tail)
+        self.fine = fine
+        self.coarse_scaling = coarse_scaling
+        self._cpu = cpu
+        self._Ab = A_boundary          # boundary operator (host CSR)
+        self.nc = A_boundary.shape[0]  # boundary vector length
+
+    def tail_apply(self, rc_np):
+        """ec = tail V-cycle applied to the boundary residual (host)."""
+        rc64 = np.asarray(rc_np, dtype=np.float64)
+        rc = jax.device_put(jnp.asarray(rc64), self._cpu)
+        ec = np.asarray(_tail_jit(self.tail, rc))
+        if self.coarse_scaling:
+            # the unified hybrid scales the boundary correction with
+            # the tail's level-0 operator (hierarchy._cycle); replicate
+            # on host for exact parity
+            Aec = self._Ab.matvec(ec)
+            denom = float(ec @ Aec)
+            alpha = min(max(float(rc64 @ ec) / denom, 0.0), 2.0) \
+                if denom > 0 else 1.0
+            ec = alpha * ec
+        return ec
+
+
 # ---------------------------------------------------------------------------
 # host-side construction
 # ---------------------------------------------------------------------------
@@ -639,7 +692,7 @@ def setup_structured(A_host: HostCSR, coords,
                      cheb_kind=1, pairs=None, pallas=None, idofs=None,
                      order="morton", algebraic_below=0, fp_maxlvl=1,
                      fp_solver="exact", gamma_data=None,
-                     dia_max_offsets=1024):
+                     dia_max_offsets=1024, host_tail=False):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -882,6 +935,37 @@ def setup_structured(A_host: HostCSR, coords,
         from dataclasses import replace as _replace
         from .hierarchy import setup_amg
         tail_idofs = fp_seeds if fp_blocks is not None else None
+        if host_tail:
+            # HOST tail: keep only the window levels on device and run
+            # the algebraic tail as a CPU-jitted f64 program between
+            # the two device launches of a split V-cycle (krylov.
+            # pcg_split).  On the remote-TPU runtime the device tail
+            # costs ~5 ms PER gather/scatter op (~2.5 s/cycle at any
+            # size — what forced chunk=1 and the 60-90 s watchdog
+            # dance, docs/PERF_NOTES.md round 3); the same cycle is
+            # sub-ms as CPU numpy/XLA and the boundary vectors are
+            # tiny (<=algebraic_below dofs).  Mathematically identical
+            # to the unified hybrid for cycle='v', maxit=1 (the tail
+            # recursion with zero initial guess IS tail.matvec).
+            if params.cycle_type != "v" or params.maxit != 1:
+                raise ValueError("host_tail supports cycle_type='v', "
+                                 "maxit=1 (the .dat metric config)")
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                tail = setup_amg(A, _replace(params, dtype="float64"),
+                                 idofs=tail_idofs)
+            fine = MGPreconditioner(
+                tuple(levels), None,
+                cycle="v", maxit=1,
+                presmooth=params.presmooth_iter,
+                postsmooth=params.postsmooth_iter,
+                amli_degree=params.amli_degree,
+                max_w_work=params.max_w_work,
+                coarse_scaling=params.coarse_scaling)
+            prec = HostTailHybrid(fine, tail, A,
+                                  coarse_scaling=params.coarse_scaling)
+            n_slots0 = levels[0].A.shape[0] if levels else A.shape[0]
+            return prec, slots0, n_slots0
         tail = setup_amg(A, _replace(params, dtype="float64"),
                          idofs=tail_idofs)
         prec = MGPreconditioner(

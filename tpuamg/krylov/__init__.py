@@ -1,5 +1,5 @@
-from .cg import pcg, CGResult
+from .cg import pcg, pcg_split, CGResult
 from .minres import minres
 from .gmres import gmres
 
-__all__ = ["pcg", "CGResult", "minres", "gmres"]
+__all__ = ["pcg", "pcg_split", "CGResult", "minres", "gmres"]

@@ -109,6 +109,121 @@ def _pcg_scan_chunk(A, M, x, r, z, p, rz, chunk):
     return state, outs
 
 
+@jax.jit
+def _split_init_down(A, fine, b, x0):
+    r = b - A(x0)
+    carry, rc = fine.cycle_down(r)
+    return r, carry, rc
+
+
+@jax.jit
+def _split_init_up(fine, carry, ec, r):
+    z = fine.cycle_up(carry, ec).astype(r.dtype)
+    rz = jnp.vdot(r, z).real
+    return z, rz, jnp.linalg.norm(r)
+
+
+@jax.jit
+def _split_down(A, fine, x, r, p, rz):
+    tiny = jnp.asarray(_TINY if r.dtype == jnp.float64 else 1e-30,
+                       r.dtype)
+    Ap = A(p)
+    pAp = jnp.vdot(p, Ap).real
+    alpha = rz / (pAp + tiny)
+    x = x + alpha * p
+    r = r - alpha * Ap
+    carry, rc = fine.cycle_down(r)
+    return x, r, carry, rc, alpha
+
+
+@jax.jit
+def _split_up(fine, carry, ec, x, r, p, rz, alpha):
+    tiny = jnp.asarray(_TINY if r.dtype == jnp.float64 else 1e-30,
+                       r.dtype)
+    z = fine.cycle_up(carry, ec).astype(r.dtype)
+    rz_new = jnp.vdot(r, z).real
+    beta = rz_new / (rz + tiny)
+    p = z + beta * p
+    out = jnp.stack([alpha.astype(r.dtype), beta,
+                     jnp.sqrt(jnp.abs(rz_new)),
+                     jnp.linalg.norm(r), jnp.linalg.norm(x)])
+    return z, p, rz_new, out
+
+
+def pcg_split(A, b, fine, tail_apply, x0=None, tol=1e-8, maxiter=500,
+              callback=None, stop_type=2, ec_dtype=None):
+    """PCG whose preconditioner is a split V-cycle with a HOST step:
+    per iteration, device launch 1 runs the outer matvec + x/r updates
+    + the fine (structured) levels' pre-smooth/restrict chain down to
+    the coarse boundary, the host applies the f64 algebraic tail to
+    the (small) boundary residual, and device launch 2 prolongs back
+    up, post-smooths, and completes the CG recurrence.
+
+    Exists because the remote-TPU runtime supports no host callbacks
+    (axon_pjrt) and executes the tail's gather/scatter ops at ~5 ms
+    each (amg.structured.HostTailHybrid) — this trades ~2.5 s of
+    device tail per iteration for two small transfers + a ~ms host
+    cycle.  Numerically identical to pcg(chunk=1) over the unified
+    hybrid for cycle='v', maxit=1.
+
+    fine: MGPreconditioner pytree (device levels only).
+    tail_apply: host callable rc(np) -> ec(np) in f64.
+    ec_dtype: upload dtype of the tail correction (default: the
+    boundary residual's dtype — the unified cycle casts it there
+    anyway, so a narrow upload loses nothing)."""
+    Afn = A.matvec if hasattr(A, "matvec") else A
+    if not isinstance(Afn, jax.tree_util.Partial):
+        Afn = jax.tree_util.Partial(Afn)
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    maxiter = int(maxiter)
+    r, carry, rc = _split_init_down(Afn, fine, b, x0)
+    rc_np = np.asarray(rc)
+    if ec_dtype is None:
+        ec_dtype = rc_np.dtype
+    ec = jnp.asarray(tail_apply(rc_np), dtype=ec_dtype)
+    z, rz, rnorm0 = _split_init_up(fine, carry, ec, r)
+    p = z
+    x = x0
+    rz0 = float(rz)
+    res0 = float(np.sqrt(max(rz0, 0.0)))
+    res_hist = [res0]
+    true_hist = [float(rnorm0)]
+    norm_b = float(jnp.linalg.norm(b)) if stop_type == 1 else 0.0
+    alphas, betas = [], []
+    k = 0
+    if stop_type == 1:
+        converged = float(rnorm0) <= tol * norm_b or norm_b == 0.0
+    else:
+        converged = res0 == 0.0
+    while not converged and k < maxiter:
+        x, r, carry, rc, alpha = _split_down(Afn, fine, x, r, p, rz)
+        ec = jnp.asarray(tail_apply(np.asarray(rc)), dtype=ec_dtype)
+        z, p, rz, out = _split_up(fine, carry, ec, x, r, p, rz, alpha)
+        o = np.asarray(out)     # alpha beta res true xnorm
+        if not np.isfinite(o[2]):
+            break               # breakdown: stop, report as-is
+        alphas.append(o[0])
+        betas.append(o[1])
+        res_hist.append(o[2])
+        true_hist.append(o[3])
+        k += 1
+        if stop_type == 1:
+            converged = o[3] <= tol * norm_b
+        elif stop_type == 3:
+            converged = o[3] <= tol * max(o[4], _TINY)
+        else:
+            converged = o[2] <= tol * res0
+    true = np.asarray(true_hist)
+    if callback is not None:
+        for i in range(1, k + 1):
+            callback(i, None, true[i])
+    return CGResult(x=x, niters=k, converged=bool(converged),
+                    residuals=np.asarray(res_hist), true_residuals=true,
+                    alphas=np.asarray(alphas), betas=np.asarray(betas))
+
+
 def pcg(A, b, M=None, x0=None, tol=1e-8, maxiter=500, callback=None,
         chunk=32, stop_type=2):
     """Solve A x = b with PCG; returns CGResult.

@@ -121,6 +121,12 @@ def main(argv=None):
                        # (scripts/tpu_tail_bisect.py hyb_pcg1)
                        chunk=1 if (f32_dev and args.algebraic_below)
                        else None,
+                       # HOST-side f64 tail (krylov.pcg_split): the
+                       # remote runtime's ~5 ms/gather-op pricing made
+                       # the on-device tail cycle ~2.5 s; as a CPU
+                       # program between two device launches it is ~ms,
+                       # removing the watchdog constraint entirely
+                       host_tail=f32_dev and bool(args.algebraic_below),
                        # XLA ops (not Pallas) on the structured offline
                        # path: the Pallas kernel composition under the
                        # footprint smoother faults the real TPU worker

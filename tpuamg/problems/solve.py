@@ -90,7 +90,17 @@ def make_preconditioner(precond: str, A: HostCSR, sizes, idofs=None,
         params = {
             "hazmath": PRESETS["standard"],
             "hazmath_Schwarz": PRESETS["standard_schwarz"],
-            "hazmath_HEM": PRESETS["metric"],
+            # hazmath_HEM passes parameters_metric (Schwarz_levels: 0 in
+            # the dict, /root/reference/src/amg_parameters.py:47-65) BUT
+            # hands interface_dofs to metricAMG, whose contract is "the
+            # interface_dofs has the Schwarz and the rest the GS
+            # smoother" (/root/reference/src/utils.py:84) regardless of
+            # the dict's Schwarz_levels — without the interface Schwarz
+            # the gamma-coupled pairs are unsmoothable and the preset
+            # degrades 33->61 iters / cond 2e5 at gamma=1e10 (measured,
+            # scripts notes round 4); with it, gamma-flat like
+            # metric_mono.
+            "hazmath_HEM": PRESETS["metric_schwarz"],
             "metric": PRESETS["metric_mono_default"],
             "metric_mono": PRESETS["metric_mono_default"],
             "metric_hazmath": PRESETS["metric_mono_default"],
@@ -204,7 +214,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  algebraic_below=0, fp_solver="exact", coupling=None,
                  pallas=None, refine=0, inner_tol=1e-6,
                  timing_runs=1, chunk=None,
-                 krylov_dtype=None) -> SolveReport:
+                 krylov_dtype=None, host_tail=False) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
     problems.  structured_coords: optional (n, d) dof coordinates — use the
@@ -253,6 +263,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     this mode vs stalling unconverged pure-f32)."""
     slots = None
     fp = None          # whole-chunk fused PCG runner (grid path, cg)
+    hybrid = None      # HostTailHybrid (structured path, host_tail)
     if structured_coords is not None and grid is None \
             and precond not in ("diag",):
         from dataclasses import replace
@@ -270,6 +281,12 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             # (io_utils.load_coupling) -> gamma-exact O(m) smoother data
             from ..smoothers.schwarz import rank1_gamma_data
             gamma_data = rank1_gamma_data(A, *coupling, sizes=sizes)
+        # host_tail: run the algebraic tail as a CPU-side f64 step of a
+        # split V-cycle (amg.structured.HostTailHybrid + krylov.
+        # pcg_split) instead of on-device — the remote-TPU win; only
+        # meaningful with algebraic_below and method='cg'
+        use_host_tail = bool(host_tail and algebraic_below
+                             and method == "cg")
         prec, slots, nsl = setup_structured(A, structured_coords, prm,
                                             dtype=dtype, pallas=pallas,
                                             idofs=idofs,
@@ -278,7 +295,8 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                                             fp_solver="exact" if deflate
                                             else fp_solver,
                                             gamma_data=gamma_data,
-                                            algebraic_below=algebraic_below)
+                                            algebraic_below=algebraic_below,
+                                            host_tail=use_host_tail)
         if coupling is not None:
             Aop = _split_metric_operator(A, coupling, sizes, slots, nsl,
                                          dtype, pallas)
@@ -295,10 +313,15 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         vec_dtype = kdt
         bj = jnp.zeros(nsl, dtype=kdt).at[jnp.asarray(slots)].set(
             jnp.asarray(b, dtype=kdt))
-        M = as_operator(prec)
-        if deflate:
-            M = _deflated_operator(M, A, coupling, sizes, slots, nsl,
-                                   dtype)
+        from ..amg.structured import HostTailHybrid
+        if isinstance(prec, HostTailHybrid):
+            hybrid, M = prec, None
+        else:
+            hybrid = None
+            M = as_operator(prec)
+            if deflate:
+                M = _deflated_operator(M, A, coupling, sizes, slots, nsl,
+                                       dtype)
         t_setup = time.time() - t0
     elif grid is not None and precond not in ("diag",):
         from dataclasses import replace
@@ -383,6 +406,11 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             from ..amg.grid_fused import pcg_fused
             r = pcg_fused(fp, bdev, tol=ktol, maxiter=miter,
                           callback=callback, stop_type=stop_type)
+        elif method == "cg" and hybrid is not None:
+            from ..krylov import pcg_split
+            r = pcg_split(Aop, bdev, hybrid.fine, hybrid.tail_apply,
+                          tol=ktol, maxiter=miter, callback=callback,
+                          stop_type=stop_type)
         elif method == "cg":
             r = pcg(Aop, bdev, M=M, tol=ktol, maxiter=miter,
                     callback=callback, stop_type=stop_type,
