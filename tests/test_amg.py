@@ -136,6 +136,27 @@ def test_bidomain_standard_preconds():
         assert rep.converged, precond
 
 
+def test_hazmath_hem_gamma_robust():
+    """hazmath_HEM (reference parameters_metric + interface_dofs,
+    /root/reference/src/bidomain_2d.py:198-199) must be gamma-robust:
+    metricAMG applies interface Schwarz whenever idofs are given ("the
+    interface_dofs has the Schwarz and the rest the GS smoother",
+    /root/reference/src/utils.py:84) even though the dict says
+    Schwarz_levels 0.  Without it this preset measured 33->47 iters /
+    cond 2e5 at gamma=1e10 (round-4 fix; nrefs-3 tables: 4/5/7 iters
+    cond <=2.3 at 1e10, 10/12/14 cond <=2.9 at gamma=1)."""
+    mesh = get_mesh(32, 2)
+    p = Params(2.0, 3.0, 1e10)
+    data = mms.setup_bidomain_mms(p, dim=2)
+    A, b, sizes, _ = get_system(mesh, data, p)
+    idofs = np.arange(sizes[0], sizes[0] + sizes[1])
+    rep = solve_system(A, b, "hazmath_HEM", sizes, idofs=idofs,
+                       tol=1e-8, maxiter=60)
+    assert rep.converged
+    assert rep.niters <= 12, rep.niters
+    assert rep.cond < 10, rep.cond
+
+
 def test_minres_gmres_agree(poisson):
     A, b = poisson
     Ae = ELL.from_host(A, dtype=jnp.float64)
