@@ -29,6 +29,17 @@ VARIANTS = {
                     coarse_scaling=True),
     "w":       dict(cycle_type="w"),
     "maxlvl3": dict(schwarz_maxlvl=3),
+    # footprint-truncation suspects: the .dat caps Schwarz blocks at
+    # mmsize=500 while the curve footprint grows ~(r/h)^2 per
+    # refinement (~103 direct members at n=32, ~10x that at maxlvl=2)
+    "mm":      dict(schwarz_mmsize=100000),
+    "ml1":     dict(schwarz_maxlvl=1),
+    "mm_amli2": dict(schwarz_mmsize=100000, cycle_type="nl_amli",
+                     amli_degree=2, coarse_scaling=True),
+    # merged overlapping footprint blocks (schwarz_cluster): the
+    # overlap-depth cure — see smoothers.schwarz_setup.
+    "clu":     dict(schwarz_cluster=True),
+    "clu_mm":  dict(schwarz_cluster=True, schwarz_mmsize=2000),
 }
 
 MESH_NS = [8, 16, 32]
@@ -50,7 +61,7 @@ def system(mesh_n, gamma):
     return A, b, sizes
 
 
-def main(variants):
+def run_cell(name, mesh_n, gamma):
     import jax
     jax.config.update("jax_enable_x64", True)
     import tpuamg
@@ -60,30 +71,45 @@ def main(variants):
 
     base, solver_cfg = dat_to_amg_parameters(
         "tpuamg/problems/input_metric.dat")
-    rows = []
+    A, b, sizes = system(mesh_n, gamma)
+    n3 = sizes[0]
+    idofs = np.arange(n3, A.shape[0])
+    prm = replace(base, **VARIANTS[name])
+    t0 = time.time()
+    rep = solve_system(A, b, "metric_hazmath", sizes,
+                       idofs=idofs, params=prm,
+                       tol=solver_cfg.tolerance,
+                       maxiter=solver_cfg.maxiter,
+                       stop_type=solver_cfg.stop_type)
+    print("CELL", name, mesh_n, A.shape[0], f"{gamma:.0e}",
+          rep.niters, f"{rep.cond:.1f}",
+          "T" if rep.converged else "F",
+          f"{time.time()-t0:.0f}s", flush=True)
+
+
+def main(variants):
+    # each cell in a FRESH interpreter: one process over the full grid
+    # accumulates XLA/LLVM compile state and segfaults (the same
+    # failure mode scripts/run_tests.sh batches around)
+    import subprocess
     for mesh_n in MESH_NS:
         for gamma in GAMMAS:
-            A, b, sizes = system(mesh_n, gamma)
-            n3 = sizes[0]
-            idofs = np.arange(n3, A.shape[0])
             for name in variants:
-                prm = replace(base, **VARIANTS[name])
-                t0 = time.time()
-                rep = solve_system(A, b, "metric_hazmath", sizes,
-                                   idofs=idofs, params=prm,
-                                   tol=solver_cfg.tolerance,
-                                   maxiter=solver_cfg.maxiter,
-                                   stop_type=solver_cfg.stop_type)
-                row = (name, mesh_n, A.shape[0], f"{gamma:.0e}",
-                       rep.niters, f"{rep.cond:.1f}",
-                       "T" if rep.converged else "F",
-                       f"{time.time()-t0:.0f}s")
-                rows.append(row)
-                print(*row, flush=True)
+                res = subprocess.run(
+                    [sys.executable, __file__, "--cell", name,
+                     str(mesh_n), str(gamma)],
+                    capture_output=True, text=True, timeout=3600)
+                for ln in res.stdout.splitlines():
+                    if ln.startswith("CELL"):
+                        print(ln[5:], flush=True)
+                if res.returncode != 0:
+                    print(f"{name} {mesh_n} {gamma}: rc={res.returncode}",
+                          res.stderr[-300:], flush=True)
     print("\nvariant mesh_n ndof gamma niters cond conv wall")
-    for r in rows:
-        print(*r)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["dat", "cs", "amli2"])
+    if sys.argv[1:2] == ["--cell"]:
+        run_cell(sys.argv[2], int(sys.argv[3]), float(sys.argv[4]))
+    else:
+        main(sys.argv[1:] or ["dat", "cs", "amli2"])

@@ -301,7 +301,8 @@ def _build_level_smoother(A: HostCSR, params: AMGParameters, level,
             maxlvl=params.schwarz_maxlvl,
             mmsize=params.schwarz_mmsize,
             symmetric=(params.schwarz_type == "symmetric"),
-            dtype=dtype)
+            dtype=dtype,
+            cluster=getattr(params, "schwarz_cluster", False))
         if idofs is not None and len(idofs) < A.shape[0]:
             # complement smoother (utils.py:84 semantics: GS elsewhere).
             # smoother="chebyshev" swaps in masked Chebyshev — exactly

@@ -827,10 +827,13 @@ def setup_structured(A_host: HostCSR, coords,
                      gd["l1ad"]),
                     maxlvl=fp_maxlvl, mmsize=mm, symmetric=True,
                     dtype=dtype)
+            elif fp_solver == "exact":
+                fp_schwarz = build_local_schwarz(
+                    A, seeds=fp_seeds, maxlvl=fp_maxlvl,
+                    mmsize=mm, symmetric=True, dtype=dtype,
+                    cluster=getattr(params, "schwarz_cluster", False))
             else:
-                builder = {"exact": build_local_schwarz,
-                           "rank1": build_rank1_schur}[fp_solver]
-                fp_schwarz = builder(
+                fp_schwarz = build_rank1_schur(
                     A, seeds=fp_seeds, maxlvl=fp_maxlvl,
                     mmsize=mm, symmetric=True, dtype=dtype)
         lmax = _estimate_lmax(A, blockinv, mask, s)

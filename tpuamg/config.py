@@ -40,6 +40,12 @@ class AMGParameters:
     schwarz_maxlvl: int = 1
     schwarz_type: str = "symmetric"   # forward | backward | symmetric
     schwarz_blksolver: str = "dense"  # dense inverse == UMFPACK role
+    schwarz_cluster: bool = False     # merge overlapping seed blocks
+    #                                   into shared blocks (TPU-build
+    #                                   knob; the cure for interface
+    #                                   footprints denser than the bulk
+    #                                   mesh — smoothers.schwarz_setup.
+    #                                   merge_overlapping_blocks)
     # TPU-build knobs (no reference analog)
     dtype: str = "float64"            # device dtype for the cycle
     pairwise_passes: int = 2          # HEM matchings per level (ratio ~2^k)

@@ -301,12 +301,21 @@ class LocalSchwarzSmoother:
 
 
 def build_local_schwarz(A_host: HostCSR, seeds, maxlvl=1, mmsize=200,
-                        symmetric=True, dtype=jnp.float32):
+                        symmetric=True, dtype=jnp.float32,
+                        cluster=False):
     """LocalSchwarzSmoother from the host matrix (blocks = maxlvl-balls
-    around the seeds, exact dense inverses, per-color padded row data)."""
+    around the seeds, exact dense inverses, per-color padded row data).
+
+    cluster=True merges runs of overlapping balls into shared blocks
+    (schwarz_setup.merge_overlapping_blocks): at curve resolutions
+    finer than the bulk mesh, per-seed footprints coincide and the
+    local-residual colored sweep degrades with the overlap depth."""
     n = A_host.shape[0]
     blocks = _bfs_blocks(A_host, np.asarray(seeds, dtype=np.int64),
                          maxlvl, mmsize)
+    if cluster:
+        from .schwarz_setup import merge_overlapping_blocks
+        blocks = merge_overlapping_blocks(blocks, mmsize)
     colors = _color_blocks(blocks, n)
     ncol = int(colors.max()) + 1 if len(blocks) else 0
     m = max((len(b) for b in blocks), default=1)
