@@ -31,23 +31,22 @@ def main(argv=None):
                         help="Directory with matrices (.npy)")
     parser.add_argument("-outdir", type=str, default="./results/emi_3d1d/",
                         help="Directory to output solution")
-    parser.add_argument("-algebraic_below", type=int, default=60000,
+    parser.add_argument("-algebraic_below", type=int,
+                        default=1_000_000_000,
                         help="structured-path real-dof threshold below "
-                        "which coarse levels switch to the algebraic "
+                        "which levels switch to the algebraic "
                         "metric-AMG tail (gamma-robust: HEM aggregation "
                         "follows the gamma-heavy edges, which geometric "
-                        "window coarsening cannot — n=10 sweep "
-                        "11/10/20/22/23/22 iters over gamma 1..1e10 vs "
-                        "11/9/20/26/29/28 purely structured).  0 = pure "
-                        "structured.  The round-2 'TPU worker crash' in "
-                        "this tail was bisected to the worker's ~60-90s "
-                        "per-execution watchdog (docs/PERF_NOTES.md "
-                        "round 3): the tail cycle's gather/scatter ops "
-                        "run ~5 ms each on the remote runtime, so 32 "
-                        "chunked PCG iterations in one launch exceeded "
-                        "it — fixed by color-capped GS (gs_max_colors) "
-                        "+ watchdog-safe PCG chunks, not by disabling "
-                        "the tail")
+                        "window coarsening cannot).  Default = "
+                        "everything: window levels above the tail are "
+                        "NOT gamma-robust at production curve densities "
+                        "(measured round 4, docs/PERF_NOTES.md — stalls "
+                        "at gamma=1e8 in full f64, so not a precision "
+                        "artifact), and the tail now runs as a HOST f64 "
+                        "program (krylov.pcg_split), so its size no "
+                        "longer costs device time.  Set a finite "
+                        "threshold to re-enable window levels for "
+                        "experiments; 0 = pure structured.")
     args, _ = parser.parse_known_args(argv)
 
     print_red("Path to solver input file: " + args.infile)
@@ -86,8 +85,18 @@ def main(argv=None):
     # software-emulated on TPU) and mixed-precision refinement restores
     # the .dat tolerance as a TRUE-residual target (solve_system docs).
     f32_dev = jax.default_backend() == "tpu"
+    from dataclasses import replace
+    # Clustered footprint Schwarz (round 4): at production curve
+    # densities the reference's seed-per-interface-dof blocks overlap
+    # ~40 deep and nearly coincide — 10k x ~400^2 dense inverses
+    # (hours of setup) that ALSO smooth worse (stale-residual sweeps
+    # over the same gamma-chain).  Merging overlapping blocks
+    # (smoothers.schwarz_setup.merge_overlapping_blocks) gives ~16x
+    # fewer blocks, seconds of setup, and converges where the per-seed
+    # layout h-degrades (probe_clu2: 24 iters at n=16 production
+    # density, gamma=1e8).
+    amg_params = replace(amg_params, schwarz_cluster=True)
     if f32_dev and args.algebraic_below:
-        from dataclasses import replace
         # TPU tail hygiene (round-3 watchdog fix, docs/PERF_NOTES.md):
         # cap the multicolor-GS color count at 6 — measured identical
         # gamma sweep to the full 24-color GS (11->13 iters over ten
