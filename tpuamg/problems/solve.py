@@ -119,7 +119,15 @@ def make_preconditioner(precond: str, A: HostCSR, sizes, idofs=None,
 def _split_metric_matvec(data, x):
     AD, Rell, Mqell, RTell, g = data
     u = Rell.matvec(x)
-    return AD.matvec(x) + g * RTell.matvec(Mqell.matvec(u))
+    # AD is gamma-free and O(1)-conditioned, so feeding it an
+    # x rounded to the storage dtype is a ~1e-7 RELATIVE perturbation
+    # of AD x — the same order as AD's own f32 storage.  The cast
+    # keeps the fused Pallas DIA kernels usable under f64 Krylov
+    # vectors (Mosaic kernels are single-precision); the
+    # cancellation-critical gamma term stays in the f64 R path.
+    adt = getattr(AD, "dtype", x.dtype)
+    y = AD.matvec(x.astype(adt)).astype(x.dtype)
+    return y + g * RTell.matvec(Mqell.matvec(u))
 
 
 def _split_metric_operator(A, coupling, sizes, slots, nsl, dtype,
