@@ -197,11 +197,16 @@ def pcg_split(A, b, fine, tail_apply, x0=None, tol=1e-8, maxiter=500,
         converged = float(rnorm0) <= tol * norm_b or norm_b == 0.0
     else:
         converged = res0 == 0.0
+    import os
+    verbose = bool(os.environ.get("TPUAMG_VERBOSE"))
     while not converged and k < maxiter:
         x, r, carry, rc, alpha = _split_down(Afn, fine, x, r, p, rz)
         ec = jnp.asarray(tail_apply(np.asarray(rc)), dtype=ec_dtype)
         z, p, rz, out = _split_up(fine, carry, ec, x, r, p, rz, alpha)
         o = np.asarray(out)     # alpha beta res true xnorm
+        if verbose and k % 5 == 0:
+            print(f"[pcg_split] it={k} res={o[2]:.3e} true={o[3]:.3e}",
+                  flush=True)
         if not np.isfinite(o[2]):
             break               # breakdown: stop, report as-is
         alphas.append(o[0])

@@ -441,10 +441,14 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         x = np.zeros_like(b64)
         total_iters, cond = 0, float("nan")
         hist = []
+        import os
         for step in range(refine):
             r64 = b64 - A.matvec(x)
             rel = np.linalg.norm(r64) / bnorm
             hist.append(rel)
+            if os.environ.get("TPUAMG_VERBOSE"):
+                print(f"[refine] step={step} true_rel={rel:.3e}",
+                      flush=True)
             if rel < tol:
                 break
             # same vector dtype the initial solve used — a second dtype
