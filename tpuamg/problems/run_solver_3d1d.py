@@ -47,7 +47,23 @@ def main(argv=None):
                         "longer costs device time.  Set a finite "
                         "threshold to re-enable window levels for "
                         "experiments; 0 = pure structured.")
+    parser.add_argument("-pallas", type=str, default="off",
+                        choices=("auto", "off"),
+                        help="Pallas kernels for the device-side "
+                        "factored outer matvec (the fused DIA kernel "
+                        "on the AD part).  The round-2 blanket disable "
+                        "('kernel composition faults the worker') was "
+                        "OVERTURNED by the round-3 watchdog/compile- "
+                        "flake forensics; with the host tail the "
+                        "device surface is just the outer SpMV, so "
+                        "'auto' re-enables kernels there.")
     args, _ = parser.parse_known_args(argv)
+
+    import faulthandler
+    import signal
+    # kill -USR1 <pid> dumps all python stacks without killing the run
+    # (the remote runtime gives no other observability mid-solve)
+    faulthandler.register(signal.SIGUSR1)
 
     print_red("Path to solver input file: " + args.infile)
     print_red("Path to matrices directory: " + args.indir)
@@ -136,12 +152,7 @@ def main(argv=None):
                        # program between two device launches it is ~ms,
                        # removing the watchdog constraint entirely
                        host_tail=f32_dev and bool(args.algebraic_below),
-                       # XLA ops (not Pallas) on the structured offline
-                       # path: the Pallas kernel composition under the
-                       # footprint smoother faults the real TPU worker
-                       # (interpret-mode parity is green; hardware debug
-                       # is a round-3 item — docs/PERF_NOTES.md)
-                       pallas=False,
+                       pallas=None if args.pallas == "auto" else False,
                        structured_coords=coords if use_structured
                        else None,
                        coupling=coupling if use_structured else None,
