@@ -369,6 +369,14 @@ class HostTailHybrid:
     def __init__(self, fine: MGPreconditioner, tail: MGPreconditioner,
                  A_boundary: HostCSR, coarse_scaling=False):
         cpu = jax.devices("cpu")[0]
+        # Native C++/OpenMP tail executor (native/tailkit.cpp): the
+        # jax-CPU cycle pays max-row-width padded-ELL reads + padded
+        # Schwarz einsums on one core (~30 s per 383k-dof cycle at
+        # production 3D-1D scale); the same cycle from CSR + ragged
+        # blocks is sub-second.  None -> jax fallback (parity-tested;
+        # TPUAMG_NO_NATIVE_TAIL=1 forces the fallback).
+        from ..native.tail import build_native_tail
+        self.native = build_native_tail(tail)
         # commit every tail leaf to the CPU device so _tail_jit
         # dispatches to the CPU backend (uncommitted arrays would
         # follow the default TPU placement)
@@ -384,12 +392,18 @@ class HostTailHybrid:
     def tail_apply(self, rc_np):
         """ec = tail V-cycle applied to the boundary residual (host)."""
         rc64 = np.asarray(rc_np, dtype=np.float64)
-        rc = jax.device_put(jnp.asarray(rc64), self._cpu)
-        ec = np.asarray(_tail_jit(self.tail, rc))
-        if self.coarse_scaling:
+        if self.native is not None:
+            ec = self.native.apply(rc64)
+        else:
+            rc = jax.device_put(jnp.asarray(rc64), self._cpu)
+            ec = np.asarray(_tail_jit(self.tail, rc))
+        if self.coarse_scaling and len(self.fine.levels) > 0:
             # the unified hybrid scales the boundary correction with
-            # the tail's level-0 operator (hierarchy._cycle); replicate
-            # on host for exact parity
+            # the tail's level-0 operator (hierarchy._cycle) — but only
+            # when the boundary is between two levels: the unified
+            # cycle never scales its own top-level output, so with no
+            # device levels this scaling must be skipped for parity
+            # (ADVICE.md round 4).
             Aec = self._Ab.matvec(ec)
             denom = float(ec @ Aec)
             alpha = min(max(float(rc64 @ ec) / denom, 0.0), 2.0) \

@@ -13,15 +13,16 @@ import subprocess
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "amgkit.cpp")
+_SRCS = [os.path.join(_HERE, "amgkit.cpp"),
+         os.path.join(_HERE, "tailkit.cpp")]
 _LIB = os.path.join(_HERE, "libamgkit.so")
 
 _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _LIB, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           "-o", _LIB] + _SRCS
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -32,7 +33,8 @@ def get_lib():
         return _lib
     try:
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
+                                                for s in _SRCS)):
             _build()
         lib = ctypes.CDLL(_LIB)
     except Exception:

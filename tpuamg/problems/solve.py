@@ -293,8 +293,20 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         # split V-cycle (amg.structured.HostTailHybrid + krylov.
         # pcg_split) instead of on-device — the remote-TPU win; only
         # meaningful with algebraic_below and method='cg'
+        # deflate wraps the unified preconditioner operator, which the
+        # split host-tail driver has no hook for — keep the unified
+        # path so the requested deflation actually happens (ADVICE.md
+        # round 4); same for non-cg methods, but loudly: on the remote
+        # TPU the unified tail re-introduces the ~2.5 s/cycle device
+        # tail the host tail exists to avoid.
         use_host_tail = bool(host_tail and algebraic_below
-                             and method == "cg")
+                             and method == "cg" and not deflate)
+        if host_tail and algebraic_below and method != "cg":
+            import warnings
+            warnings.warn(
+                "host_tail=True requires method='cg'; falling back to "
+                "the unified on-device tail (slow on the remote TPU)",
+                stacklevel=2)
         prec, slots, nsl = setup_structured(A, structured_coords, prm,
                                             dtype=dtype, pallas=pallas,
                                             idofs=idofs,
