@@ -77,6 +77,9 @@ def solve(mesh_n, gammas):
                       "compile flake?) — retrying", flush=True)
                 continue
             txt = ANSI.sub("", res.stdout + res.stderr)
+            os.makedirs(r, exist_ok=True)
+            with open(os.path.join(r, "run.log"), "w") as f:
+                f.write(txt + f"\nEXIT={res.returncode}\n")
             print(txt[-2000:], flush=True)
             m = re.search(r"niters=(\d+) converged=(\w+) "
                           r"setup=([\d.]+)s solve=([\d.]+)s", txt)
