@@ -951,7 +951,23 @@ def setup_structured(A_host: HostCSR, coords,
         # cycle driver casts back to the Krylov dtype on exit.
         from dataclasses import replace as _replace
         from .hierarchy import setup_amg
-        tail_idofs = fp_seeds if fp_blocks is not None else None
+        # The tail ALWAYS gets the interface dofs (metricAMG contract:
+        # Schwarz on idofs, GS elsewhere — /root/reference/src/utils.py
+        # :84).  fp_seeds carries them through window coarsening; with
+        # no window levels (the production host-tail config) fall back
+        # to the slot-space idofs directly.  The `len(idofs)*8 < n`
+        # gate above only governs the DEVICE footprint machinery —
+        # letting it strip the tail's idofs made setup_amg seed a
+        # Schwarz block at EVERY dof (measured at the n=16
+        # production-density dump: 7505 seeds x 500^2 dense inverses,
+        # ~30 GB and minutes of inversion, plus the wrong smoother
+        # semantics).
+        if fp_blocks is not None:
+            tail_idofs = fp_seeds
+        elif idofs is not None and len(idofs):
+            tail_idofs = np.sort(slots0[np.asarray(idofs)])
+        else:
+            tail_idofs = None
         if host_tail:
             # HOST tail: keep only the window levels on device and run
             # the algebraic tail as a CPU-jitted f64 program between
