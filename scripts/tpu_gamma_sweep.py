@@ -52,10 +52,12 @@ def main():
                            maxiter=200, grid=((n + 1, n + 1), 2),
                            params=prm, dtype=jnp.float32,
                            refine=4, inner_tol=2e-5)
-        rows.append((g, sum(sizes), rep.niters, rep.converged,
+        per_pass = "+".join(str(k) for k in rep.pass_iters) or "-"
+        rows.append((g, sum(sizes), rep.niters, per_pass, rep.converged,
                      rep.r_norm, rep.t_setup, rep.t_solve, t_asm))
         print(f"gamma={g:.0e} dofs={sum(sizes)} iters={rep.niters} "
-              f"conv={rep.converged} true_rel_r={rep.r_norm:.2e} "
+              f"({per_pass}) conv={rep.converged} "
+              f"true_rel_r={rep.r_norm:.2e} "
               f"setup={rep.t_setup:.1f}s solve={rep.t_solve:.1f}s",
               flush=True)
     dev = jax.devices()[0].platform
@@ -64,8 +66,12 @@ def main():
                 f"(device={dev}); tol 1e-8 TRUE relative residual via "
                 "f32 device PCG + f64 iterative refinement "
                 "(scripts/tpu_gamma_sweep.py)\n")
-        f.write("gamma ndofs niters converged true_rel_r setup_s "
-                "solve_s asm_s\n")
+        f.write("# niters SUMS the refinement passes (pass_iters column"
+                " = per-pass Krylov counts to inner_tol 2e-5); compare "
+                "pass_iters, not niters, against the single-solve f64 "
+                "CPU tables in docs/sample_results/.\n")
+        f.write("gamma ndofs niters pass_iters converged true_rel_r "
+                "setup_s solve_s asm_s\n")
         for r in rows:
             f.write(" ".join(str(v) for v in r) + "\n")
     print("wrote", out, flush=True)

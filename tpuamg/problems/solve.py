@@ -38,6 +38,10 @@ class SolveReport:
     t_setup: float
     t_solve: float
     residuals: np.ndarray
+    # refine=k only: Krylov iterations of each refinement pass.  niters
+    # is their SUM — compare per-PASS counts, not niters, against
+    # single-solve tables (a refine=4 run at ~15 iters/pass reports 60).
+    pass_iters: tuple = ()
 
 
 def _dense_inv_op(A: HostCSR, dtype):
@@ -222,7 +226,8 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                  algebraic_below=0, fp_solver="exact", coupling=None,
                  pallas=None, refine=0, inner_tol=1e-6,
                  timing_runs=1, chunk=None,
-                 krylov_dtype=None, host_tail=False) -> SolveReport:
+                 krylov_dtype=None, host_tail=False,
+                 keep_idofs=0) -> SolveReport:
     """grid: optional (dims, F) — use the gather-free structured-grid
     hierarchy (tpuamg.amg.grid), the fast TPU path for the structured-mesh
     problems.  structured_coords: optional (n, d) dof coordinates — use the
@@ -235,6 +240,11 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
     hierarchy switches to the algebraic metric-AMG tail (gamma-flat
     coarse spaces; gathers are cheap at coarse sizes) — see
     amg/structured.setup_structured.
+    keep_idofs: L > 0 keeps interface dofs uncoarsened (injected)
+    through at most L structured window levels — the gamma-robust
+    window coarse space (metricAMG idofs contract; see
+    amg/structured.setup_structured(keep_idofs=...)).  Requires the
+    tiled slot order.
     Default: the general algebraic ELL path.
 
     timing_runs: with 2+, after the first (compiling) solve completes,
@@ -316,7 +326,8 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
                                             else fp_solver,
                                             gamma_data=gamma_data,
                                             algebraic_below=algebraic_below,
-                                            host_tail=use_host_tail)
+                                            host_tail=use_host_tail,
+                                            keep_idofs=keep_idofs)
         if coupling is not None:
             Aop = _split_metric_operator(A, coupling, sizes, slots, nsl,
                                          dtype, pallas)
@@ -453,6 +464,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         x = np.zeros_like(b64)
         total_iters, cond = 0, float("nan")
         hist = []
+        pass_iters = []
         import os
         for step in range(refine):
             r64 = b64 - A.matvec(x)
@@ -478,6 +490,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
             if step == 0 and method == "cg":
                 cond = res.cond
             total_iters += res.niters
+            pass_iters.append(int(res.niters))
             x = x + d
         rel = np.linalg.norm(b64 - A.matvec(x)) / bnorm
         hist.append(rel)
@@ -485,7 +498,7 @@ def solve_system(A: HostCSR, b, precond: str, sizes, idofs=None,
         return SolveReport(
             x=x, niters=total_iters, converged=bool(rel < tol), cond=cond,
             r_norm=float(rel), t_setup=t_setup, t_solve=t_solve,
-            residuals=np.asarray(hist))
+            residuals=np.asarray(hist), pass_iters=tuple(pass_iters))
 
     x, res = _run(bj, tol, maxiter)
     cond = res.cond if method == "cg" else float("nan")
