@@ -296,3 +296,64 @@ def test_mixed_precision_split_outer_true_residual():
     assert rep.converged, (rep.niters, rep.r_norm)
     # r_norm is the TRUE f64 relative residual from the refine loop
     assert rep.r_norm < 1e-6, rep.r_norm
+
+
+def test_keep_idofs_slot_layout():
+    """keep_idofs stride blocks: every interface dof sits at the start
+    of an ALIGNED idof_stride block of the tiled slot space, so it
+    stays alone in its s=2/s=4 window through L window levels (the
+    metricAMG idofs contract applied to the window hierarchy)."""
+    from tpuamg.amg.structured import lattice_tiled_slots
+    A, b, sizes, coords = _system(1e4)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    for L, stride in ((1, 2), (2, 8), (3, 32)):
+        slots0, nsl = lattice_tiled_slots(coords, idofs, A.shape[0],
+                                          idof_stride=stride)
+        assert len(np.unique(slots0)) == A.shape[0]
+        si = slots0[idofs]
+        assert np.all(si % stride == 0), (L, si[:4])
+        # no two dofs (bulk or interface) share an idof block
+        others = np.setdiff1d(slots0, si)
+        blk = np.concatenate([si // stride, others // stride])
+        assert len(np.unique(si // stride)) == n1
+        assert not np.intersect1d(si // stride, others // stride).size
+
+
+@pytest.mark.parametrize("keep", [1, 2])
+def test_keep_idofs_gamma_converges(keep):
+    """gamma-robust window coarse space: plain window levels above the
+    tail STALL at gamma=1e8 at production curve density (round-4
+    measurement, docs/PERF_NOTES.md); keeping interface dofs injected
+    through the window levels converges (measured n=16 production dump:
+    full-tail 17, keep1 49, keep2 102 iters vs 200+ no-convergence
+    unkept).  Guard the mechanism on the small fixture."""
+    gamma = 1e8
+    A, b, sizes, coords = _system(gamma)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    prm = AMGParameters(cycle_type="v", dtype="float64",
+                        schwarz_levels=1, schwarz_cluster=True)
+    rep = solve_system(A, b, "metric_mono", sizes, params=prm, tol=1e-8,
+                       maxiter=150, structured_coords=coords,
+                       idofs=idofs, pallas=False,
+                       structured_order="auto",
+                       algebraic_below=A.shape[0] // 4,
+                       keep_idofs=keep)
+    assert rep.converged, (keep, rep.niters)
+    assert rep.niters <= 60, (keep, rep.niters)
+    rel = np.linalg.norm(b - A.matvec(rep.x)) / np.linalg.norm(b)
+    assert rel < 1e-7, (keep, rel)
+
+
+def test_keep_idofs_requires_tiled_order():
+    A, b, sizes, coords = _system(1e2)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    with pytest.raises(ValueError, match="keep_idofs"):
+        solve_system(A, b, "metric_mono", sizes, tol=1e-8, maxiter=10,
+                     params=AMGParameters(cycle_type="v",
+                                          dtype="float64"),
+                     structured_coords=coords, idofs=idofs,
+                     pallas=False, structured_order="morton",
+                     keep_idofs=1)

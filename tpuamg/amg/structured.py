@@ -632,7 +632,7 @@ def hem_tree_slots(A_host: HostCSR, coords, theta=0.1, max_rounds=30,
     return slots0, nsl
 
 
-def lattice_tiled_slots(coords, idofs, n, tile=8):
+def lattice_tiled_slots(coords, idofs, n, tile=8, idof_stride=1):
     """Tiled-lattice slot ordering for grid-bulk + curve systems.
 
     Morton RANK ordering smears offsets on non-power-of-two boxes (a
@@ -655,6 +655,17 @@ def lattice_tiled_slots(coords, idofs, n, tile=8):
     in-tile slots: isotropic 2x coarsening inside tiles; window
     coarsening keeps the tiled structure (tile size shrinks 8->2 over
     three levels, then windows group row-major tiles).
+
+    idof_stride > 1 reserves an ALIGNED block of `idof_stride` slots per
+    interface dof (the dof at the block start, ghosts after): with
+    stride 2*4^(L-1) an idof stays ALONE in its window through L window
+    levels (s=2 then s=4 per setup_structured), i.e. it passes to every
+    window coarse level by INJECTION — the metricAMG idofs contract
+    (keep interface dofs to the coarsest level,
+    /root/reference/src/utils.py:84) applied to the window hierarchy:
+    coarse functions keep u1 free while u3 is window-constant, so the
+    gamma-kernel (Pi u3 = u1) stays representable.  See
+    setup_structured(keep_idofs=...).
 
     Returns (slots0, nsl); raises ValueError when the bulk dofs do not
     occupy a clean lattice (caller falls back to 'morton')."""
@@ -690,12 +701,17 @@ def lattice_tiled_slots(coords, idofs, n, tile=8):
     code_in = morton_code(q % tile, bits=4)
     slots_bulk = tflat * (tile ** d) + code_in.astype(np.int64)
     nbulk = int(np.prod(ntile)) * tile ** d
+    # idof blocks must start on idof_stride boundaries (window
+    # alignment); tile**d covers strides up to 2*4^3 for d=3 tiles,
+    # round up otherwise
+    nbulk = -(-nbulk // idof_stride) * idof_stride
     slots0 = np.empty(n_all, dtype=np.int64)
     slots0[bulk] = slots_bulk
     if len(idofs):
         corder = np.argsort(morton_code(crd[idofs]), kind="stable")
-        slots0[idofs[corder]] = nbulk + np.arange(len(idofs))
-    nsl = nbulk + len(idofs)
+        slots0[idofs[corder]] = nbulk + np.arange(len(idofs)) \
+            * idof_stride
+    nsl = nbulk + len(idofs) * idof_stride
     nsl = -(-nsl // 2) * 2
     return slots0, nsl
 
@@ -706,7 +722,8 @@ def setup_structured(A_host: HostCSR, coords,
                      cheb_kind=1, pairs=None, pallas=None, idofs=None,
                      order="morton", algebraic_below=0, fp_maxlvl=1,
                      fp_solver="exact", gamma_data=None,
-                     dia_max_offsets=1024, host_tail=False):
+                     dia_max_offsets=1024, host_tail=False,
+                     keep_idofs=0):
     """Build the gather-free structured hierarchy.
 
     coords: (n, d) spatial position per dof (field-stacked systems repeat
@@ -728,6 +745,16 @@ def setup_structured(A_host: HostCSR, coords,
     spaces at structured-path speed: gather-based coarse levels are
     cheap once small, while the fine (window/DIA) levels carry the
     flops.  0 disables (pure window hierarchy).
+    keep_idofs: L > 0 keeps every interface dof UNCOARSENED (passed by
+    injection) through at most L window levels — the metricAMG idofs
+    contract (/root/reference/src/utils.py:84) applied to the window
+    hierarchy.  Plain window aggregation coarsens u1 together with the
+    bulk, which destroys the gamma-kernel (Pi u3 = u1) in the coarse
+    space — the measured round-4 gamma=1e8 stall at production curve
+    density (docs/PERF_NOTES.md).  Requires the tiled slot order
+    (idofs get aligned ghost-padded stride blocks); the level loop is
+    capped at L so idofs reach the algebraic tail unmerged.  Slot
+    inflation: (2*4^(L-1) - 1) ghost slots per interface dof.
 
     Returns (prec, slots0, n_slots0): solve in slot space —
         b_s = jnp.zeros(n_slots0).at[slots0].set(b)   # out-of-loop scatter
@@ -736,15 +763,24 @@ def setup_structured(A_host: HostCSR, coords,
     """
     n0 = A_host.shape[0]
     crd = np.asarray(coords, dtype=np.float64)
+    keep_idofs = int(keep_idofs or 0)
+    if keep_idofs and (idofs is None or not len(idofs)):
+        keep_idofs = 0
+    stride = 2 * 4 ** (keep_idofs - 1) if keep_idofs else 1
     if order in ("tiled", "auto") and pairs is None:
         try:
-            slots0, nsl = lattice_tiled_slots(crd, idofs, n0)
+            slots0, nsl = lattice_tiled_slots(crd, idofs, n0,
+                                              idof_stride=stride)
         except ValueError:
             if order == "tiled":
                 raise
             order = "morton"
         else:
             order = "_tiled_done"
+    if keep_idofs and order != "_tiled_done":
+        raise ValueError(
+            "keep_idofs requires the tiled slot order (aligned idof "
+            f"stride blocks); order={order!r} does not support it")
     if order == "_tiled_done":
         pass
     elif order is not None and order.startswith("hem") and pairs is None:
@@ -793,8 +829,11 @@ def setup_structured(A_host: HostCSR, coords,
     # the coupling exactly and idofs can be O(n) — skip.
     fp_blocks = fp_seeds = None
     gd = None
+    # keep_idofs forces the footprint machinery on: it exists exactly
+    # for the 3D-1D production regime where the curve can be denser
+    # than the O(n) gate allows (curve finer than bulk)
     if (idofs is not None and params.schwarz_levels > 0
-            and 0 < len(idofs) * 8 < A_host.shape[0]):
+            and (keep_idofs or 0 < len(idofs) * 8 < A_host.shape[0])):
         fp_seeds = np.sort(slots0[np.asarray(idofs)])
         fp_blocks = _neighbor_blocks(A, fp_seeds)
         if fp_solver == "rank1g":
@@ -812,8 +851,15 @@ def setup_structured(A_host: HostCSR, coords,
             gd["Dg"][slots0] = Dg0
             gd["l1ad"][slots0] = l10
     levels = []
+    # interface slots tracked through window coarsening for the tail's
+    # idofs contract — independent of the footprint machinery (the
+    # fp gate can be off while window levels still exist; level-0 slot
+    # indices passed to the tail were out of range then)
+    tail_seeds = np.sort(slots0[np.asarray(idofs)]) \
+        if idofs is not None and len(idofs) else None
     s = 2
     while (len(levels) < params.max_levels - 1
+           and (not keep_idofs or len(levels) < keep_idofs)
            and mask.sum() > max(params.coarse_dof, algebraic_below)):
         A, mask = _pad_to_multiple(A, mask, s)
         ng = A.shape[0] // s
@@ -907,6 +953,8 @@ def setup_structured(A_host: HostCSR, coords,
             Adev, smoother,
             jnp.asarray(mask, dtype=dtype), s, ng))
         A, mask = _window_coarse(A, mask, s)
+        if tail_seeds is not None:
+            tail_seeds = np.unique(tail_seeds // s)
         if fp_blocks is not None:
             fp_blocks = [np.unique(blk // s) for blk in fp_blocks]
             fp_seeds = np.unique(fp_seeds // s)
@@ -962,12 +1010,7 @@ def setup_structured(A_host: HostCSR, coords,
         # production-density dump: 7505 seeds x 500^2 dense inverses,
         # ~30 GB and minutes of inversion, plus the wrong smoother
         # semantics).
-        if fp_blocks is not None:
-            tail_idofs = fp_seeds
-        elif idofs is not None and len(idofs):
-            tail_idofs = np.sort(slots0[np.asarray(idofs)])
-        else:
-            tail_idofs = None
+        tail_idofs = fp_seeds if fp_blocks is not None else tail_seeds
         if host_tail:
             # HOST tail: keep only the window levels on device and run
             # the algebraic tail as a CPU-jitted f64 program between

@@ -47,6 +47,16 @@ def main(argv=None):
                         "longer costs device time.  Set a finite "
                         "threshold to re-enable window levels for "
                         "experiments; 0 = pure structured.")
+    parser.add_argument("-keep_idofs", type=int, default=0,
+                        help="L > 0: keep interface dofs uncoarsened "
+                        "(injected) through at most L structured window "
+                        "levels — the gamma-robust window coarse space "
+                        "(metricAMG idofs contract applied to the "
+                        "window hierarchy; amg/structured."
+                        "setup_structured).  Use with a finite "
+                        "-algebraic_below so the gamma machinery lands "
+                        "in a SMALLER tail; 0 = off (full-tail "
+                        "production default).")
     parser.add_argument("-pallas", type=str, default="auto",
                         choices=("auto", "off"),
                         help="Pallas kernels for the device-side "
@@ -158,6 +168,7 @@ def main(argv=None):
                        else None,
                        coupling=coupling if use_structured else None,
                        algebraic_below=args.algebraic_below,
+                       keep_idofs=args.keep_idofs,
                        # tiled-lattice slot order when the bulk is a
                        # clean grid (O(stencil) DIA offsets at ANY size
                        # — the Morton rank order smears to ~80k distinct
