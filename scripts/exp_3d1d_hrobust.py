@@ -40,6 +40,16 @@ VARIANTS = {
     # overlap-depth cure — see smoothers.schwarz_setup.
     "clu":     dict(schwarz_cluster=True),
     "clu_mm":  dict(schwarz_cluster=True, schwarz_mmsize=2000),
+    # round-5 gamma=1 h-growth suspects (6->11->18 UNCURED by cs /
+    # nl_amli / clustering / mmsize, PERF_NOTES round 4): at gamma=1
+    # the system is nearly decoupled Poisson, where piecewise-constant
+    # UA under a V-cycle is KNOWN non-optimal — W-cycle and smoothed
+    # aggregation are the textbook cures the prior sweeps never tried
+    # at this gamma.
+    "w_clu":   dict(cycle_type="w", schwarz_cluster=True),
+    "sa_clu":  dict(amg_type="sa", schwarz_cluster=True),
+    "sa_amli": dict(amg_type="sa", cycle_type="nl_amli", amli_degree=2,
+                    schwarz_cluster=True),
 }
 
 MESH_NS = [8, 16, 32]

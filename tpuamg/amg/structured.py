@@ -831,8 +831,12 @@ def setup_structured(A_host: HostCSR, coords,
     gd = None
     # keep_idofs forces the footprint machinery on: it exists exactly
     # for the 3D-1D production regime where the curve can be denser
-    # than the O(n) gate allows (curve finer than bulk)
-    if (idofs is not None and params.schwarz_levels > 0
+    # than the O(n) gate allows (curve finer than bulk).  With
+    # keep_idofs the footprint SPLIT (narrow DIA) is needed even at
+    # schwarz_levels=0 — interface smoothing can live entirely in the
+    # tail since the interface rows reach it by injection.
+    if (idofs is not None
+            and (params.schwarz_levels > 0 or keep_idofs)
             and (keep_idofs or 0 < len(idofs) * 8 < A_host.shape[0])):
         fp_seeds = np.sort(slots0[np.asarray(idofs)])
         fp_blocks = _neighbor_blocks(A, fp_seeds)

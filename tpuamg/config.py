@@ -102,6 +102,21 @@ parameters_metric_schwarz = replace(
 parameters_metric_mono_default = replace(
     parameters_metric_schwarz, schwarz_maxlvl=2)
 
+# 3D-1D h-robust variant (round 5, scripts/exp_3d1d_hrobust.py): the
+# input_metric.dat config (UA + V) grows 6->11->18 iters over
+# mesh_n=8/16/32 at gamma=1 — piecewise-constant UA under a V-cycle is
+# not h-optimal on the near-decoupled-Poisson regime.  Smoothed
+# aggregation + NL-AMLI(2) + clustered footprint Schwarz measures
+# 4->5->6 (cond <= 1.3): h-FLAT at gamma=1.  (At gamma=1e8 it is
+# comparable to clu_mm, not flat — the extreme-gamma h-growth remains
+# open.)
+parameters_metric_3d1d_hrobust = AMGParameters(
+    amg_type="sa", cycle_type="nl_amli", amli_degree=2, max_levels=30,
+    maxit=1, smoother="gs", relaxation=1.0, coarse_dof=300,
+    aggregation_type="hem", strong_coupled=0.0, max_aggregation=20,
+    schwarz_levels=1, schwarz_mmsize=500, schwarz_maxlvl=2,
+    schwarz_cluster=True, pairwise_passes=2)
+
 PRESETS = {
     "standard": parameters_standard,
     "standard_reference": parameters_standard_reference,
@@ -109,6 +124,7 @@ PRESETS = {
     "metric": parameters_metric,
     "metric_schwarz": parameters_metric_schwarz,
     "metric_mono_default": parameters_metric_mono_default,
+    "metric_3d1d_hrobust": parameters_metric_3d1d_hrobust,
 }
 
 
