@@ -56,7 +56,14 @@ def main(argv=None):
                         "setup_structured).  Use with a finite "
                         "-algebraic_below so the gamma machinery lands "
                         "in a SMALLER tail; 0 = off (full-tail "
-                        "production default).")
+                        "production default).  CAVEAT (measured round "
+                        "5): on TPU the window levels store the gamma "
+                        "rows entrywise in f32, which costs extra "
+                        "iterations at gamma>=1e8 (n=16 dump: ~2x the "
+                        "f64 count) and plateaus ~3e-4 at the n=64 "
+                        "production dump — extreme-gamma device levels "
+                        "need a factored per-level gamma storage, "
+                        "open.")
     parser.add_argument("-pallas", type=str, default="auto",
                         choices=("auto", "off"),
                         help="Pallas kernels for the device-side "
