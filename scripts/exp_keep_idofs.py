@@ -52,6 +52,11 @@ VARIANTS = {
                                    schwarz_maxlvl=3)),
     "win_keep2_s2": (3000, 2, dict(presmooth_iter=2, postsmooth_iter=2,
                                    schwarz_maxlvl=3, schwarz_levels=2)),
+    # no Schwarz on the window levels at all (pure DIA + block-Cheb —
+    # the cheapest possible device levels): interface smoothing lives
+    # entirely in the tail, which the kept idofs reach by injection
+    "win_keep1_nos": (3000, 1, dict(schwarz_levels=0)),
+    "win_keep2_nos": (3000, 2, dict(schwarz_levels=0)),
 }
 
 
