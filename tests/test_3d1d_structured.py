@@ -231,6 +231,29 @@ def test_host_tail_split_parity():
     np.testing.assert_allclose(r1.x, r0.x, rtol=1e-6, atol=1e-9)
 
 
+def test_host_tail_full_tail_coarse_scaling_parity():
+    """coarse_scaling=True with the tail covering ALL dofs (no device
+    window levels — the production run_solver_3d1d default): the split
+    hybrid must match the unified preconditioner, which never scales
+    its own top-level output (hierarchy._cycle scales only between
+    levels).  Guards the len(fine.levels)==0 skip in
+    HostTailHybrid.tail_apply (ADVICE.md round 4 #1)."""
+    gamma = 1e6
+    A, b, sizes, coords = _system(gamma)
+    n3, n1 = sizes
+    idofs = np.arange(n3, n3 + n1)
+    prm = AMGParameters(cycle_type="v", dtype="float64",
+                        schwarz_levels=2, coarse_scaling=True)
+    kw = dict(params=prm, tol=1e-8, maxiter=150,
+              structured_coords=coords, idofs=idofs, pallas=False,
+              algebraic_below=10 ** 9)   # tail owns every dof
+    r0 = solve_system(A, b, "metric_mono", sizes, **kw)
+    r1 = solve_system(A, b, "metric_mono", sizes, host_tail=True, **kw)
+    assert r1.converged, (r1.niters, r1.r_norm)
+    assert abs(r1.niters - r0.niters) <= 1, (r1.niters, r0.niters)
+    np.testing.assert_allclose(r1.x, r0.x, rtol=1e-6, atol=1e-9)
+
+
 def test_host_tail_mixed_precision_production_config():
     """The production run_solver_3d1d configuration (f32 storage + f64
     Krylov vectors + factored outer operator + refine) with the host
